@@ -1,0 +1,242 @@
+"""End-to-end fit_motion: IMU + GPS -> velocities, steering, forward axis.
+
+TPU-native pipeline with the same inputs/outputs as the reference binary
+(/root/reference/src/fit_motion.cc):
+
+  1. Principal-rotation-axis PCA -> vehicle vertical axis (rotation.cc:16-57).
+  2. Steering signal: gyro rates projected on the vertical axis
+     (fit_motion.cc:139-154).
+  3. Sliding-window IMU calibration: the reference runs an independent
+     <=500-iteration L-BFGS per window, sequentially (fit_motion.cc:179-246).
+     Here every window solves simultaneously as one batched Gauss-Newton
+     device program; per-window trajectory replays, cross-window averaging,
+     and the forward-axis accumulation are fused segment-sums.
+  4. Gaussian post-smoothing of averaged speeds (fit_motion.cc:270-273).
+  5. Forward axis: device-frame velocity sum over confident windows,
+     vertical component removed, normalized (fit_motion.cc:222-245, 281-283).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pilotguru_tpu.calib.accelerometer import (
+    NUM_PARAMS,
+    solve_windows,
+    window_residuals,
+)
+from pilotguru_tpu.calib.pieces import (
+    RidePieces,
+    WindowedProblem,
+    build_ride_pieces,
+    build_windowed_problem,
+)
+from pilotguru_tpu.calib.rotation_axis import (
+    angular_velocities_around_axis,
+    principal_rotation_axes,
+)
+from pilotguru_tpu.geometry.quaternion import quat_conjugate, quat_rotate
+from pilotguru_tpu.geometry.strapdown import integrate_motion
+from pilotguru_tpu.timeseries.smoothing import smooth_time_series
+
+
+@dataclass(frozen=True)
+class FitMotionConfig:
+    """Mirrors the reference flags (fit_motion.cc:79-104)."""
+
+    locations_batch_size: int = 40
+    locations_shift_step: int = 5
+    optimization_iters: int = 40  # Gauss-Newton; reference L-BFGS used 500.
+    post_smoothing_sigma_sec: float = 0.003
+    principal_rotation_axis_integration_interval_usec: int = 500_000
+    forward_axis_inference_min_velocity_m_s: float = 5.0
+    forward_axis_inference_min_rotation_rad: float = 0.2
+    dtype: object = jnp.float64
+
+
+@dataclass
+class FitMotionResult:
+    vertical_axis: np.ndarray  # [3]
+    steering_times_usec: np.ndarray  # [R] (= rotation timestamps)
+    steering_angular_velocities: np.ndarray  # [R]
+    velocity_times_usec: np.ndarray  # [E'] covered merged-IMU-event times
+    velocities_m_s: np.ndarray  # [E'] smoothed averaged speeds
+    forward_axis: np.ndarray  # [3] unit, in device frame
+    window_params: np.ndarray  # [W, 9] fitted calibration parameters
+    window_final_loss: np.ndarray  # [W] final sum-of-squares residuals
+    problem: WindowedProblem = field(repr=False, default=None)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_segments",
+        "num_events",
+        "num_iters",
+        "min_velocity",
+        "min_rotation_rad",
+    ),
+)
+def _solve_and_reduce(
+    rot_rates,  # [W, P, 3]
+    accelerations,  # [W, P, 3]
+    dt_sec,  # [W, P]
+    segment_ids,  # [W, P]
+    gps_speeds,  # [W, B]
+    out_weights,  # [W, P] float — valid & event-last mask
+    event_ids,  # [W, P] int32
+    num_segments: int,
+    num_events: int,
+    num_iters: int,
+    min_velocity: float,
+    min_rotation_rad: float,
+):
+    """One device program: batched GN solve + replay + cross-window reductions."""
+    dtype = rot_rates.dtype
+    sol = solve_windows(
+        rot_rates,
+        accelerations,
+        dt_sec,
+        segment_ids,
+        gps_speeds,
+        num_segments,
+        num_iters=num_iters,
+        dtype=dtype,
+    )
+
+    def replay(p, rot, acc, dt):
+        integ = integrate_motion(rot, acc, dt, p[0:3], p[3:6], p[6:9])
+        return integ.orientations, integ.velocities
+
+    orient, vel = jax.vmap(replay)(sol.x, rot_rates, accelerations, dt_sec)
+    speeds = jnp.linalg.norm(vel, axis=-1)  # [W, P]
+
+    # Cross-window per-event speed averaging (fit_motion.cc:216-221, 259-269):
+    # each window contributes each covered event's final-piece speed.
+    flat_ids = event_ids.reshape(-1)
+    flat_w = out_weights.reshape(-1).astype(dtype)
+    ev_sum = jax.ops.segment_sum(speeds.reshape(-1) * flat_w, flat_ids, num_events)
+    ev_count = jax.ops.segment_sum(flat_w, flat_ids, num_events)
+
+    # Forward-axis accumulation (fit_motion.cc:222-245): windows gated by
+    # overall rotation (min |q.w| over the window's event orientations),
+    # events gated by speed; velocities rotated into the device frame.
+    abs_w = jnp.where(out_weights > 0, jnp.abs(orient[..., 0]), jnp.inf)
+    min_cos = jnp.clip(jnp.min(abs_w, axis=1), -1.0, 1.0)  # [W]
+    window_gate = jnp.arccos(min_cos) >= min_rotation_rad
+    ev_gate = out_weights * (speeds >= min_velocity) * window_gate[:, None]
+    v_local = quat_rotate(quat_conjugate(orient), vel)  # [W, P, 3]
+    forward_total = jnp.sum(v_local * ev_gate[..., None], axis=(0, 1))  # [3]
+
+    return sol, ev_sum, ev_count, forward_total
+
+
+def fit_motion_arrays(
+    rot_times_usec,
+    rot_rates,
+    acc_times_usec,
+    accelerations,
+    gps_times_usec,
+    gps_speeds,
+    config: FitMotionConfig = FitMotionConfig(),
+) -> FitMotionResult:
+    """Run the full pipeline on in-memory arrays."""
+    dtype = config.dtype
+    axes, _ = principal_rotation_axes(
+        rot_times_usec,
+        rot_rates,
+        config.principal_rotation_axis_integration_interval_usec,
+        dtype=dtype,
+    )
+    vertical = axes[0]
+    steering = angular_velocities_around_axis(
+        jnp.asarray(rot_rates, dtype), vertical
+    )
+
+    ride = build_ride_pieces(
+        rot_times_usec, rot_rates, acc_times_usec, accelerations, gps_times_usec
+    )
+    problem = build_windowed_problem(
+        ride,
+        gps_times_usec,
+        gps_speeds,
+        locations_batch_size=config.locations_batch_size,
+        locations_shift_step=config.locations_shift_step,
+    )
+
+    out_weights = (problem.valid & problem.event_last).astype(np.float64)
+    event_ids = ride.piece_event_index[problem.global_piece_index].astype(np.int32)
+
+    sol, ev_sum, ev_count, forward_total = _solve_and_reduce(
+        jnp.asarray(problem.rot_rates, dtype),
+        jnp.asarray(problem.accelerations, dtype),
+        jnp.asarray(problem.dt_sec, dtype),
+        jnp.asarray(problem.segment_ids),
+        jnp.asarray(problem.gps_speeds, dtype),
+        jnp.asarray(out_weights, dtype),
+        jnp.asarray(event_ids),
+        num_segments=problem.num_segments,
+        num_events=ride.num_events,
+        num_iters=config.optimization_iters,
+        min_velocity=float(config.forward_axis_inference_min_velocity_m_s),
+        min_rotation_rad=float(config.forward_axis_inference_min_rotation_rad),
+    )
+
+    ev_sum = np.asarray(ev_sum)
+    ev_count = np.asarray(ev_count)
+    covered = ev_count > 0
+    avg_speeds = ev_sum[covered] / ev_count[covered]
+    out_times = ride.event_times_usec[covered]
+
+    # Gaussian post-smoothing on seconds relative to the first covered event
+    # (fit_motion.cc:259-273).
+    if out_times.size:
+        t_sec = (out_times - out_times[0]).astype(np.float64) * 1e-6
+        smoothed = np.asarray(
+            smooth_time_series(
+                avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec, dtype=dtype
+            )
+        )
+    else:
+        smoothed = avg_speeds
+
+    forward = np.asarray(forward_total, np.float64)
+    vert = np.asarray(vertical, np.float64)
+    forward = forward - vert * float(vert @ forward)
+    forward = forward / (np.linalg.norm(forward) + 1e-5)
+
+    return FitMotionResult(
+        vertical_axis=vert,
+        steering_times_usec=np.asarray(rot_times_usec, np.int64),
+        steering_angular_velocities=np.asarray(steering, np.float64),
+        velocity_times_usec=out_times,
+        velocities_m_s=smoothed,
+        forward_axis=forward,
+        window_params=np.asarray(sol.x, np.float64),
+        window_final_loss=np.asarray(sol.loss, np.float64),
+        problem=problem,
+    )
+
+
+def window_loss_fn(problem: WindowedProblem, window: int, dtype=jnp.float64):
+    """Reference-normalized loss for one window, for oracle parity tests."""
+
+    def loss(params):
+        r = window_residuals(
+            jnp.asarray(params, dtype),
+            jnp.asarray(problem.rot_rates[window], dtype),
+            jnp.asarray(problem.accelerations[window], dtype),
+            jnp.asarray(problem.dt_sec[window], dtype),
+            jnp.asarray(problem.segment_ids[window]),
+            jnp.asarray(problem.gps_speeds[window], dtype),
+            problem.num_segments,
+        )
+        total_time = jnp.sum(jnp.asarray(problem.dt_sec[window], dtype))
+        return jnp.sum(r * r) / total_time
+
+    return loss

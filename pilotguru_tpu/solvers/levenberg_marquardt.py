@@ -60,7 +60,7 @@ def levenberg_marquardt(
         return jnp.sum(r * r)
 
     def step(state, _):
-        x, damping, loss, iters, done = state
+        x, damping, nu, loss, iters, done = state
         r = residual_fn(x)
         jac = jax.jacfwd(residual_fn)(x)  # [R, D]
         jtj = jac.T @ jac
@@ -73,31 +73,42 @@ def levenberg_marquardt(
 
         x_try = x + dx
         loss_try = loss_of(residual_fn(x_try))
-        accept = loss_try < loss
+        # Nielsen gain-ratio damping: predicted reduction from the damped
+        # quadratic model; shrink damping sharply on good steps, escalate
+        # geometrically (nu doubling) on rejects so recovery from a bad
+        # damping scale costs O(log) iterations.
+        predicted = jnp.dot(dx, damping * (diag * dx) - jtr)
+        rho = (loss - loss_try) / jnp.maximum(predicted, 1e-300)
+        accept = (loss_try < loss) & (predicted > 0)
 
         grad_small = jnp.max(jnp.abs(2.0 * jtr)) < grad_tol
         done_next = done | grad_small
 
         x_next = jnp.where(done | ~accept, x, x_try)
         loss_next = jnp.where(done | ~accept, loss, loss_try)
-        damping_next = jnp.where(
-            done,
-            damping,
-            jnp.where(accept, damping * damping_down, damping * damping_up),
+        shrink = jnp.maximum(
+            jnp.asarray(damping_down, x.dtype), 1.0 - (2.0 * rho - 1.0) ** 3
         )
+        damping_next = jnp.where(accept, damping * shrink, damping * nu)
+        nu_next = jnp.where(accept, jnp.asarray(2.0, x.dtype), nu * 2.0)
+        damping_next = jnp.where(done, damping, damping_next)
+        nu_next = jnp.where(done, nu, nu_next)
         damping_next = jnp.clip(damping_next, min_damping, max_damping)
         iters_next = iters + jnp.where(done | ~accept, 0, 1)
-        return (x_next, damping_next, loss_next, iters_next, done_next), None
+        return (x_next, damping_next, nu_next, loss_next, iters_next, done_next), None
 
     loss0 = loss_of(residual_fn(x0))
     init = (
         x0,
         jnp.asarray(init_damping, x0.dtype),
+        jnp.asarray(damping_up, x0.dtype),
         loss0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
-    (x, _, loss, iters, done), _ = jax.lax.scan(step, init, None, length=num_iters)
+    (x, _, _, loss, iters, done), _ = jax.lax.scan(
+        step, init, None, length=num_iters
+    )
     return LMResult(x, loss, iters, done)
 
 

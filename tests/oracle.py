@@ -182,3 +182,222 @@ def integrate_motion_sequence(
         qs.append(q.copy())
         vs.append(v.copy())
     return np.array(qs), np.array(vs)
+
+
+# ---------------------------------------------------------------------------
+# AccelerometerCalibrator oracle
+# ---------------------------------------------------------------------------
+
+
+class AccelerometerCalibratorOracle:
+    """Literal re-derivation of AccelerometerCalibrator
+    (/root/reference/src/calibration/velocity.cc:29-256): sequential
+    integration over interpolation intervals, loss = time-normalized sum of
+    squared travel-distance mismatches, with the reference's hand-derived
+    gradient formulas (including its post-step-rotation approximation for
+    the local-bias term and the 1e-5 norm guard)."""
+
+    def __init__(self, gps_times, gps_speeds, rot_times, rot_rates, acc_times, accs):
+        self.gps_speeds = np.asarray(gps_speeds, np.float64)
+        ev_times, ev_idx = merge_time_series([rot_times, acc_times])
+        self.event_times = ev_times
+        self.event_idx = ev_idx
+        self.rot_rates = np.asarray(rot_rates, np.float64)
+        self.accs = np.asarray(accs, np.float64)
+        self.intervals = make_interpolation_intervals(gps_times, ev_times)
+
+    def _piece_data(self, interval):
+        _, itp_end, start, end = interval
+        rot_i, acc_i = self.event_idx[itp_end]
+        dt = (end - start) * 1e-6
+        return self.rot_rates[rot_i], self.accs[acc_i], dt
+
+    def eval(self, params):
+        params = np.asarray(params, np.float64)
+        g_bias, l_bias, v0 = params[0:3], params[3:6], params[6:9]
+        grad = np.zeros(9)
+        loss = 0.0
+        q = np.array([1.0, 0, 0, 0])
+        v = v0.copy()
+        total_usec = 0
+        total_weighted_rot = np.zeros((3, 3))
+        for intervals in self.intervals:
+            travel = np.zeros(3)
+            ref_dist = 0.0
+            outcomes = []
+            for interval in intervals:
+                ref_end = interval[0]
+                rate, acc, dt = self._piece_data(interval)
+                a_glob = quat_rotate(q, acc + l_bias) + g_bias
+                v = v + a_glob * dt
+                q = quat_mul(q, rotation_rate_to_quat(rate, dt))
+                outcomes.append((q.copy(), v.copy(), interval[3] - interval[2]))
+                travel += dt * v
+                ref_dist += dt * self.gps_speeds[ref_end]
+            diff = np.linalg.norm(travel) - ref_dist
+            loss += diff * diff
+            dl_dt = 2.0 * diff * travel / (np.linalg.norm(travel) + 1e-5)
+            for q_out, _, dur_usec in outcomes:
+                dt = dur_usec * 1e-6
+                total_usec += dur_usec
+                t_sec = total_usec * 1e-6
+                grad[0:3] += t_sec * dt * dl_dt
+                rmat = _quat_to_mat(q_out)
+                total_weighted_rot += rmat * dt
+                grad[3:6] += dt * (total_weighted_rot.T @ dl_dt)
+                grad[6:9] += dt * dl_dt
+        total_sec = total_usec * 1e-6
+        return loss / total_sec, grad / total_sec
+
+    def integrate_trajectory(self, params):
+        """Returns {event_index: (orientation, velocity)} like
+        IntegrateTrajectory (velocity.cc:199-256): final values per event."""
+        params = np.asarray(params, np.float64)
+        g_bias, l_bias, v0 = params[0:3], params[3:6], params[6:9]
+        q = np.array([1.0, 0, 0, 0])
+        v = v0.copy()
+        result = {}
+        for intervals in self.intervals:
+            for interval in intervals:
+                itp_end = interval[1]
+                rate, acc, dt = self._piece_data(interval)
+                a_glob = quat_rotate(q, acc + l_bias) + g_bias
+                v = v + a_glob * dt
+                q = quat_mul(q, rotation_rate_to_quat(rate, dt))
+                result[itp_end] = (q.copy(), v.copy())
+        return result
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def fit_motion_velocities(
+    gps_times,
+    gps_speeds,
+    rot_times,
+    rot_rates,
+    acc_times,
+    accs,
+    batch_size=40,
+    shift_step=5,
+    max_iters=500,
+):
+    """Sequential sliding-window fit with scipy L-BFGS-B, mirroring the
+    reference main loop (fit_motion.cc:179-269): per-window solve from zero
+    init, trajectory replay, per-event speed collection, cross-window
+    averaging. Returns (event_times_usec, averaged_speeds) over covered
+    events (pre-smoothing)."""
+    from scipy.optimize import minimize
+
+    gps_times = np.asarray(gps_times)
+    per_event = {}
+    for start in range(0, len(gps_times), shift_step):
+        end = min(start + batch_size, len(gps_times))
+        cal = AccelerometerCalibratorOracle(
+            gps_times[start:end],
+            np.asarray(gps_speeds)[start:end],
+            rot_times,
+            rot_rates,
+            acc_times,
+            accs,
+        )
+        if not any(cal.intervals):
+            continue
+        res = minimize(
+            cal.eval,
+            np.zeros(9),
+            jac=True,
+            method="L-BFGS-B",
+            options={"maxiter": max_iters, "ftol": 1e-14, "gtol": 1e-9},
+        )
+        for ev, (_, vel) in cal.integrate_trajectory(res.x).items():
+            per_event.setdefault(ev, []).append(np.linalg.norm(vel))
+    events = sorted(per_event)
+    # Event indices are window-relative to the merged series, which is
+    # global here because the IMU streams are shared across windows.
+    full = AccelerometerCalibratorOracle(
+        gps_times, np.asarray(gps_speeds), rot_times, rot_rates, acc_times, accs
+    )
+    times = np.asarray([full.event_times[e] for e in events], np.int64)
+    speeds = np.asarray([np.mean(per_event[e]) for e in events])
+    return times, speeds
+
+
+class GPSInterpolationObjectiveOracle:
+    """Literal re-derivation of GPSInterpolationObjective
+    (/root/reference/src/interpolate_velocity.cc:53-214): per-GPS-interval
+    distance mismatch + finite-difference acceleration magnitude +
+    acceleration smoothness, each L1+L2 weighted, with the reference's
+    analytic (sub)gradients, plus its InitToAverages and the clipped
+    gradient-descent loop (gradient_descent.cc:18-33)."""
+
+    def __init__(self, gps_times, gps_speeds, frame_times, l1, l2, w_v, w_a, w_s):
+        self.gps_speeds = list(map(float, gps_speeds))
+        self.ft = list(map(int, frame_times))
+        self.l1, self.l2 = l1, l2
+        self.w_v, self.w_a, self.w_s = w_v, w_a, w_s
+        self.groups = make_interpolation_intervals(gps_times, frame_times)
+
+    def init_to_averages(self):
+        x = [0.0] * len(self.ft)
+        for g, intervals in enumerate(self.groups):
+            for _, itp_end, _, _ in intervals:
+                x[itp_end] = self.gps_speeds[g]
+        return np.asarray(x)
+
+    def eval(self, x):
+        x = np.asarray(x, np.float64)
+        grad = np.zeros_like(x)
+        obj = 0.0
+        for g, intervals in enumerate(self.groups):
+            integrated = 0.0
+            duration = 0.0
+            for _, itp_end, s, e in intervals:
+                dt = (e - s) * 1e-6
+                integrated += x[itp_end] * dt
+                duration += dt
+            diff = integrated - self.gps_speeds[g] * duration
+            sign = 1.0 if diff > 0 else -1.0
+            obj += self.l1 * self.w_v * abs(diff) + self.l2 * self.w_v * diff * diff
+            for _, itp_end, s, e in intervals:
+                dt = (e - s) * 1e-6
+                grad[itp_end] += self.l1 * self.w_v * sign * dt
+                grad[itp_end] += 2.0 * self.l2 * self.w_v * diff * dt
+        for i in range(1, len(self.ft)):
+            inv = 1.0 / ((self.ft[i] - self.ft[i - 1]) * 1e-6)
+            a = (x[i] - x[i - 1]) * inv
+            s = 1 if a > 0 else -1
+            obj += self.l1 * self.w_a * abs(a) + self.l2 * self.w_a * a * a
+            grad[i - 1] -= (self.l1 * self.w_a * s + 2 * self.l2 * self.w_a * a) * inv
+            grad[i] += (self.l1 * self.w_a * s + 2 * self.l2 * self.w_a * a) * inv
+        for i in range(1, len(self.ft) - 1):
+            invp = 1.0 / ((self.ft[i] - self.ft[i - 1]) * 1e-6)
+            invn = 1.0 / ((self.ft[i + 1] - self.ft[i]) * 1e-6)
+            ap = (x[i] - x[i - 1]) * invp
+            an = (x[i + 1] - x[i]) * invn
+            d = an - ap
+            s = 1 if d > 0 else -1
+            obj += self.l1 * self.w_s * abs(d) + self.l2 * self.w_s * d * d
+            grad[i - 1] += (self.l1 * self.w_s * s + 2 * self.l2 * self.w_s * d) * invp
+            grad[i + 1] += (self.l1 * self.w_s * s + 2 * self.l2 * self.w_s * d) * invn
+            grad[i] -= (self.l1 * self.w_s * s + 2 * self.l2 * self.w_s * d) * (
+                invp + invn
+            )
+        return obj, grad
+
+    def optimize(self, iters, lr, decay, clip_min=-10.0, clip_max=10.0):
+        x = self.init_to_averages()
+        cur = lr
+        for _ in range(iters):
+            _, g = self.eval(x)
+            x = x - cur * np.clip(g, clip_min, clip_max)
+            cur *= decay
+        return x

@@ -1,0 +1,252 @@
+import json
+
+import numpy as np
+import pytest
+
+import oracle
+import synthetic
+from pilotguru_tpu.formats import json_io, keys
+
+
+@pytest.fixture(scope="module")
+def ride_dir(tmp_path_factory):
+    ride = synthetic.make_ride(
+        duration_sec=50.0, imu_hz=50.0, local_bias=(0.05, -0.1, 0.2), jitter_seed=7
+    )
+    out = tmp_path_factory.mktemp("ride")
+    synthetic.write_ride_jsons(ride, str(out))
+    return ride, out
+
+
+class TestFitMotionCli:
+    def test_end_to_end(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.fit_motion import main
+
+        ride, d = ride_dir
+        rc = main(
+            [
+                f"--rotations_json={d}/rotations.json",
+                f"--accelerations_json={d}/accelerations.json",
+                f"--locations_json={d}/locations.json",
+                f"--velocities_out_json={tmp_path}/velocities.json",
+                f"--steering_out_json={tmp_path}/steering.json",
+                f"--forward_axis_out_json={tmp_path}/forward_axis.json",
+                "--locations_batch_size=20",
+                "--locations_shift_step=5",
+            ]
+        )
+        assert rc == 0
+
+        vt, vv = json_io.read_timestamped_values(
+            f"{tmp_path}/velocities.json", keys.VELOCITIES, keys.SPEED_M_S
+        )
+        want = ride.speed_at(vt)
+        assert np.sqrt(np.mean((vv - want) ** 2)) < 0.3
+
+        st, sv = json_io.read_timestamped_values(
+            f"{tmp_path}/steering.json", keys.STEERING, keys.ANGULAR_VELOCITY
+        )
+        np.testing.assert_array_equal(st, ride.rot_times_usec)
+        np.testing.assert_allclose(
+            np.abs(sv), np.abs(ride.yaw_rate_at(st)), atol=1e-6
+        )
+
+        axis = json_io.read_forward_axis(f"{tmp_path}/forward_axis.json")
+        assert abs(axis @ np.array([1.0, 0, 0])) > 0.98
+
+    def test_flag_validation(self):
+        from pilotguru_tpu.cli.fit_motion import main
+
+        with pytest.raises(SystemExit):
+            main(["--rotations_json=x"])  # missing required flags
+        with pytest.raises(SystemExit):
+            main(
+                [
+                    "--rotations_json=a",
+                    "--accelerations_json=b",
+                    "--locations_json=c",
+                    "--locations_batch_size=2",
+                    "--locations_shift_step=5",
+                ]
+            )
+
+
+class TestAnnotateFramesCli:
+    def test_matches_oracle(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.annotate_frames import main
+
+        ride, d = ride_dir
+        # Annotate frames with GPS speeds.
+        rc = main(
+            [
+                f"--frames_json={d}/frames.json",
+                f"--in_json={d}/locations.json",
+                "--json_root_element_name=locations",
+                "--json_value_name=speed_m_s",
+                f"--out_json={tmp_path}/annotated.json",
+            ]
+        )
+        assert rc == 0
+        out = json_io.read_json(f"{tmp_path}/annotated.json")
+        events = out["locations"]
+        assert events and all("frame_id" in e and "speed_m_s" in e for e in events)
+
+        # Cross-check a few entries against the literal oracle.
+        frame_ids, frame_times = json_io.read_frames(f"{d}/frames.json")
+        id_to_t = dict(zip(frame_ids.tolist(), frame_times.tolist()))
+        for e in events[:5] + events[-5:]:
+            fid = e["frame_id"]
+            idx = list(frame_ids).index(fid)
+            want, ok = oracle.time_averaged_value(
+                ride.gps_speeds,
+                ride.gps_times_usec,
+                id_to_t[frame_ids[idx - 1]],
+                id_to_t[fid],
+            )
+            assert ok
+            np.testing.assert_allclose(e["speed_m_s"], want, rtol=1e-9)
+
+    def test_smoothing_flag(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.annotate_frames import main
+
+        _, d = ride_dir
+        main(
+            [
+                f"--frames_json={d}/frames.json",
+                f"--in_json={d}/locations.json",
+                "--json_root_element_name=locations",
+                "--json_value_name=speed_m_s",
+                f"--out_json={tmp_path}/smoothed.json",
+                "--smoothing_sigma=2.0",
+            ]
+        )
+        main(
+            [
+                f"--frames_json={d}/frames.json",
+                f"--in_json={d}/locations.json",
+                "--json_root_element_name=locations",
+                "--json_value_name=speed_m_s",
+                f"--out_json={tmp_path}/raw.json",
+            ]
+        )
+        smoothed = json_io.read_json(f"{tmp_path}/smoothed.json")["locations"]
+        raw = json_io.read_json(f"{tmp_path}/raw.json")["locations"]
+        sv = np.asarray([e["speed_m_s"] for e in smoothed])
+        rv = np.asarray([e["speed_m_s"] for e in raw])
+        assert np.std(np.diff(sv)) < np.std(np.diff(rv))
+
+
+class TestIntegrateMotionCli:
+    def test_output_shape_and_sanity(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.integrate_motion import main
+
+        ride, d = ride_dir
+        rc = main(
+            [
+                f"--rotations_json={d}/rotations.json",
+                f"--accelerations_json={d}/accelerations.json",
+                f"--out_json={tmp_path}/integrated.json",
+            ]
+        )
+        assert rc == 0
+        t, v = json_io.read_timestamped_values(
+            f"{tmp_path}/integrated.json", keys.FRAMES, keys.SPEED_M_S
+        )
+        assert t.size > 0 and (v >= 0).all()
+        # Uncalibrated dead reckoning drifts, but the debias keeps magnitudes
+        # within the same order as real speeds on a short clean ride.
+        assert v.max() < 100.0
+
+
+class TestInterpolateVelocityCli:
+    def test_interpolation_close_to_truth(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.interpolate_velocity import main
+
+        ride, d = ride_dir
+        rc = main(
+            [
+                f"--locations_json={d}/locations.json",
+                f"--frames_json={d}/frames.json",
+                f"--out_json={tmp_path}/interp.json",
+                "--l2_weight=1.0",
+                "--iters=500",
+            ]
+        )
+        assert rc == 0
+        out = json_io.read_json(f"{tmp_path}/interp.json")
+        frames = out[keys.FRAMES]
+        # Original frame fields preserved, speed added.
+        assert all(
+            keys.FRAME_ID in f and keys.TIME_USEC in f and keys.SPEED_M_S in f
+            for f in frames
+        )
+        times = np.asarray([f[keys.TIME_USEC] for f in frames])
+        speeds = np.asarray([f[keys.SPEED_M_S] for f in frames])
+        # Interior frames (covered by GPS) should track the true speed. The
+        # residual is dominated by the objective's own smoothing weights
+        # (reference defaults), not solver error — exact descent parity is
+        # asserted in test_descent_matches_reference_oracle.
+        lo, hi = ride.gps_times_usec[1], ride.gps_times_usec[-2]
+        m = (times >= lo) & (times <= hi)
+        want = ride.speed_at(times[m])
+        assert np.sqrt(np.mean((speeds[m] - want) ** 2)) < 0.8
+
+    @pytest.mark.parametrize("l1,l2", [(0.0, 1.0), (0.7, 0.3)])
+    def test_descent_matches_reference_oracle(self, ride_dir, l1, l2):
+        # The whole solve is deterministic: same objective, same analytic
+        # init, same clipped-GD schedule. Autodiff gradients must reproduce
+        # the reference's hand-derived ones step for step.
+        from pilotguru_tpu.calib.interpolate import (
+            InterpolationSettings,
+            interpolate_gps_velocities,
+        )
+
+        ride, _ = ride_dir
+        frame_times = ride.frame_times_usec[:200]
+        o = oracle.GPSInterpolationObjectiveOracle(
+            ride.gps_times_usec, ride.gps_speeds, frame_times,
+            l1=l1, l2=l2, w_v=1.0, w_a=1.0, w_s=1.0,
+        )
+        want = o.optimize(iters=60, lr=0.1, decay=0.97)
+        got = interpolate_gps_velocities(
+            ride.gps_times_usec, ride.gps_speeds, frame_times,
+            InterpolationSettings(
+                l1_weight=l1, l2_weight=l2, learning_rate=0.1,
+                learning_rate_decay=0.97, iters=60,
+            ),
+        )
+        if l1 == 0.0:
+            # Smooth objective: bit-level float noise stays bounded, the
+            # whole descent trajectory matches.
+            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+        else:
+            # L1 kinks make per-step sign choices chaotic under float
+            # reassociation; assert matching objective quality instead
+            # (gradient parity at the starting point is bit-checked above
+            # via the identical first step of the L2 case).
+            np.testing.assert_allclose(
+                o.eval(got)[0], o.eval(want)[0], rtol=1e-4
+            )
+
+
+class TestJsonShapeCompat:
+    def test_velocities_json_shape(self, ride_dir, tmp_path):
+        from pilotguru_tpu.cli.fit_motion import main
+
+        _, d = ride_dir
+        main(
+            [
+                f"--rotations_json={d}/rotations.json",
+                f"--accelerations_json={d}/accelerations.json",
+                f"--locations_json={d}/locations.json",
+                f"--steering_out_json={tmp_path}/steering.json",
+                "--locations_batch_size=20",
+            ]
+        )
+        with open(f"{tmp_path}/steering.json") as f:
+            text = f.read()
+        assert text.endswith("\n")
+        parsed = json.loads(text)
+        assert set(parsed.keys()) == {keys.STEERING}
+        entry = parsed[keys.STEERING][0]
+        assert set(entry.keys()) == {keys.TIME_USEC, keys.ANGULAR_VELOCITY}
