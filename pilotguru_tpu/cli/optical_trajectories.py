@@ -1,0 +1,61 @@
+"""optical_trajectories CLI: monocular visual odometry over a ride video.
+
+Flag-compatible with the reference binary
+(/root/reference/src/optical_trajectories.cc:36-62). Differences:
+--vocabulary_file is accepted and ignored (DBoW2 vocabulary indexing is
+replaced by exhaustive MXU descriptor matching); --visualize and
+--output_per_segment_videos are not yet implemented (rendering lands with
+the render tools).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pilotguru_tpu.cli._common import add_dtype_flag, make_parser, setup_backend
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument(
+        "--vocabulary_file", default="", help="Accepted for compatibility; unused."
+    )
+    parser.add_argument("--camera_settings", required=True)
+    parser.add_argument("--in_video", required=True)
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--vertical_flip", action="store_true")
+    parser.add_argument("--horizontal_flip", action="store_true")
+    parser.add_argument("--rotation_smooth_sigma", type=int, default=0)
+    parser.add_argument(
+        "--image_scale",
+        type=float,
+        default=1.0,
+        help="Optional downscale factor applied before tracking.",
+    )
+    add_dtype_flag(parser)
+    args = parser.parse_args(argv)
+    setup_backend(args.dtype)
+
+    from pilotguru_tpu.vo.camera import read_camera_settings
+    from pilotguru_tpu.vo.pipeline import track_video_segments, video_frames
+
+    settings = read_camera_settings(args.camera_settings)
+    frames = video_frames(
+        args.in_video,
+        vertical_flip=args.vertical_flip,
+        horizontal_flip=args.horizontal_flip,
+        scale=args.image_scale,
+    )
+    segments, consumed = track_video_segments(
+        frames,
+        settings,
+        args.out_dir,
+        rotation_smooth_sigma=args.rotation_smooth_sigma,
+        image_scale=args.image_scale,
+    )
+    print(f"{segments} trajectory segment(s) from {consumed} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""optical_trajectories pipeline: video -> per-segment trajectory JSONs.
+
+Reference flow (/root/reference/src/optical_trajectories.cc:73-111 +
+src/slam/track_image_sequence.cc): run monocular odometry until tracking is
+LOST, post-process the segment (optional quaternion smoothing, translation
+PCA with the lambda3 flatness test, planar headings, turn angles), write
+trajectory-N.json, then restart a fresh tracker on the remaining video.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from pilotguru_tpu.formats.trajectory import Trajectory, write_trajectory
+from pilotguru_tpu.timeseries.smoothing import smooth_quaternion_sequence
+from pilotguru_tpu.vo.camera import CameraSettings
+from pilotguru_tpu.vo.flatten import flatten_trajectory
+from pilotguru_tpu.vo.tracking import (
+    LOST,
+    CameraModel,
+    MonocularTracker,
+    TrackerConfig,
+)
+
+
+@dataclass
+class VideoFrame:
+    gray: np.ndarray  # [H, W] float32 in [0, 1]
+    frame_id: int
+    time_usec: int
+
+
+def video_frames(
+    video_path: str,
+    vertical_flip: bool = False,
+    horizontal_flip: bool = False,
+    scale: float = 1.0,
+) -> Iterator[VideoFrame]:
+    """Decode a ride video to grayscale frames with timestamps.
+
+    Host-side cv2 decode (the reference uses libav directly,
+    src/io/image_sequence_reader.cc; a native decoder is planned for the
+    C++ runtime layer). Rotation metadata handling: cv2 >= 4.5 applies the
+    rotation automatically; explicit flips mirror the reference's
+    --vertical_flip/--horizontal_flip flags.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frame_id = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        if scale != 1.0:
+            gray = cv2.resize(
+                gray, None, fx=scale, fy=scale, interpolation=cv2.INTER_AREA
+            )
+        if vertical_flip:
+            gray = gray[::-1]
+        if horizontal_flip:
+            gray = gray[:, ::-1]
+        msec = cap.get(cv2.CAP_PROP_POS_MSEC)
+        time_usec = int(msec * 1000) if msec > 0 else int(frame_id / fps * 1e6)
+        yield VideoFrame(
+            gray.astype(np.float32) / 255.0, frame_id, time_usec
+        )
+        frame_id += 1
+    cap.release()
+
+
+def tracker_from_settings(
+    settings: CameraSettings, image_scale: float = 1.0
+) -> MonocularTracker:
+    camera = CameraModel(
+        fx=settings.fx * image_scale,
+        fy=settings.fy * image_scale,
+        cx=settings.cx * image_scale,
+        cy=settings.cy * image_scale,
+    )
+    config = TrackerConfig(
+        total_budget=min(settings.orb_features, 1024),
+        num_levels=min(settings.orb_levels, 4),
+        fast_threshold=settings.orb_ini_th_fast / 255.0,
+    )
+    return MonocularTracker(camera, config)
+
+
+def trajectory_from_tracker(tracker: MonocularTracker) -> Optional[Trajectory]:
+    frames = [fp for fp in tracker.trajectory if not fp.is_lost]
+    if len(frames) < 10:
+        return None
+    return Trajectory(
+        time_usec=np.asarray([fp.time_usec for fp in frames], np.int64),
+        frame_id=np.asarray([fp.frame_id for fp in frames], np.int64),
+        is_lost=np.zeros(len(frames), bool),
+        translations=np.stack([fp.camera_center() for fp in frames]),
+        rotations=np.stack([fp.camera_to_world_quat() for fp in frames]),
+    )
+
+
+def postprocess_segment(
+    trajectory: Trajectory, rotation_smooth_sigma: int = 0
+) -> Optional[Trajectory]:
+    """Smoothing + PCA flattening (TrackImageSequence post-loop,
+    track_image_sequence.cc:63-110). Returns None if the segment fails the
+    flatness test."""
+    if rotation_smooth_sigma > 0:
+        trajectory.rotations = np.asarray(
+            smooth_quaternion_sequence(trajectory.rotations, rotation_smooth_sigma)
+        )
+    result = flatten_trajectory(trajectory)
+    if result is None:
+        return None
+    plane, directions, angles = result
+    trajectory.plane = plane
+    trajectory.planar_directions = directions
+    trajectory.turn_angles = angles
+    return trajectory
+
+
+def track_video_segments(
+    frames: Iterator[VideoFrame],
+    settings: CameraSettings,
+    out_dir: str,
+    rotation_smooth_sigma: int = 0,
+    image_scale: float = 1.0,
+    make_tracker=None,
+) -> Tuple[int, int]:
+    """Segment loop (optical_trajectories.cc:91-111): fresh tracker per
+    segment, restart after LOST, one JSON per valid segment.
+
+    Returns (segments_written, frames_consumed).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    make_tracker = make_tracker or (
+        lambda: tracker_from_settings(settings, image_scale)
+    )
+    segment = 0
+    consumed = 0
+    exhausted = False
+    while not exhausted:
+        tracker = make_tracker()
+        fed = 0
+        while True:
+            frame = next(frames, None)
+            if frame is None:
+                exhausted = True
+                break
+            consumed += 1
+            fed += 1
+            state = tracker.process_frame(frame.gray, frame.frame_id, frame.time_usec)
+            if state == LOST:
+                break
+        trajectory = trajectory_from_tracker(tracker)
+        if trajectory is not None:
+            processed = postprocess_segment(trajectory, rotation_smooth_sigma)
+            if processed is not None:
+                write_trajectory(
+                    processed,
+                    os.path.join(out_dir, f"trajectory-{segment:04d}.json"),
+                )
+                segment += 1
+        if fed == 0:
+            break
+    return segment, consumed

@@ -1,0 +1,150 @@
+"""SE(3) utilities and robust pose-only optimization.
+
+Replaces Optimizer::PoseOptimization (the reference's g2o wrapper,
+thirdparty/orb-slam2/src/Optimizer.cc): the camera pose is a 6-vector
+(so(3) rotation vector + translation, world->camera), residuals are
+normalized-plane reprojection errors with Huber IRLS weights, minimized by
+the batched dense Levenberg-Marquardt from pilotguru_tpu.solvers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
+
+
+def rotvec_to_matrix(w):
+    """Rodrigues formula, Taylor-safe near zero."""
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(theta2 + 1e-30)
+    k = jnp.asarray(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]], w.dtype
+    )
+    small = theta2 < 1e-12
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+
+
+def matrix_to_rotvec(r):
+    """Inverse Rodrigues (principal branch)."""
+    cos = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    axis_raw = jnp.asarray(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]], r.dtype
+    )
+    sin = jnp.linalg.norm(axis_raw) / 2.0
+    scale = jnp.where(sin > 1e-9, theta / (2.0 * sin), 0.5)
+    return axis_raw * scale
+
+
+def matrix_to_quat(r):
+    """Rotation matrix -> (w, x, y, z) quaternion (stable branch-free form)."""
+    m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
+    m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
+    m20, m21, m22 = r[2, 0], r[2, 1], r[2, 2]
+    tr = m00 + m11 + m22
+    qw = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) / 2.0
+    qx = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) / 2.0
+    qy = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) / 2.0
+    qz = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) / 2.0
+    qx = qx * jnp.sign(jnp.where(m21 - m12 == 0, 1.0, m21 - m12))
+    qy = qy * jnp.sign(jnp.where(m02 - m20 == 0, 1.0, m02 - m20))
+    qz = qz * jnp.sign(jnp.where(m10 - m01 == 0, 1.0, m10 - m01))
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.linalg.norm(q)
+
+
+def transform(pose6, points):
+    """Apply world->camera pose: R x + t. pose6 = [rotvec(3), t(3)]."""
+    r = rotvec_to_matrix(pose6[:3])
+    return points @ r.T + pose6[3:]
+
+
+def project(points_cam):
+    """Pinhole projection to the normalized plane, z-guarded."""
+    z = jnp.maximum(points_cam[..., 2:3], 1e-6)
+    return points_cam[..., :2] / z
+
+
+def reprojection_residuals(pose6, points_world, observations, weights):
+    """[N, 2] weighted residuals (weights fold in validity and Huber IRLS)."""
+    cam = transform(pose6, points_world)
+    res = project(cam) - observations
+    # Points behind the camera contribute a large fixed penalty direction.
+    behind = cam[..., 2] <= 1e-6
+    res = jnp.where(behind[..., None], 1.0, res)
+    return res * weights[..., None]
+
+
+def huber_weights(residual_norms, delta: float):
+    """sqrt of the Huber IRLS weight: 1 inside delta, sqrt(delta/|r|) outside."""
+    return jnp.where(
+        residual_norms <= delta,
+        1.0,
+        jnp.sqrt(delta / jnp.maximum(residual_norms, 1e-12)),
+    )
+
+
+class PoseOptimizationResult(NamedTuple):
+    pose6: jnp.ndarray  # [6]
+    inliers: jnp.ndarray  # [N] bool
+    num_inliers: jnp.ndarray  # []
+
+
+def optimize_pose(
+    pose6_init,
+    points_world,
+    observations,
+    valid,
+    huber_delta: float = 0.006,  # ~ sqrt(5.99) px at f ~ 400px, like g2o's chi2
+    inlier_threshold: float = 0.01,
+    irls_rounds: int = 3,
+    lm_iters: int = 10,
+) -> PoseOptimizationResult:
+    """Robust pose-only refinement (PoseOptimization semantics: 4 rounds of
+    optimize + outlier reclassification become IRLS reweighting rounds)."""
+    dtype = points_world.dtype
+    pose = jnp.asarray(pose6_init, dtype)
+    base_w = valid.astype(dtype)
+
+    def round_body(pose, _):
+        res = project(transform(pose, points_world)) - observations
+        norms = jnp.linalg.norm(res, axis=-1)
+        w = base_w * huber_weights(norms, huber_delta)
+        result = levenberg_marquardt(
+            lambda p: reprojection_residuals(
+                p, points_world, observations, w
+            ).ravel(),
+            pose,
+            num_iters=lm_iters,
+        )
+        return result.x, None
+
+    pose, _ = jax.lax.scan(round_body, pose, None, length=irls_rounds)
+
+    def classify(pose):
+        res = project(transform(pose, points_world)) - observations
+        norms = jnp.linalg.norm(res, axis=-1)
+        cam_z = transform(pose, points_world)[..., 2]
+        return valid & (norms < inlier_threshold) & (cam_z > 0)
+
+    # Final polish on hard inliers only (the reference's g2o loop excludes
+    # chi2 outliers between rounds rather than merely downweighting them,
+    # Optimizer::PoseOptimization); Huber leaves a residual bias otherwise.
+    inliers = classify(pose)
+    w_hard = inliers.astype(dtype)
+    result = levenberg_marquardt(
+        lambda p: reprojection_residuals(
+            p, points_world, observations, w_hard
+        ).ravel(),
+        pose,
+        num_iters=lm_iters,
+    )
+    pose = result.x
+    inliers = classify(pose)
+    return PoseOptimizationResult(pose, inliers, jnp.sum(inliers))

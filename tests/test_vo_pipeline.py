@@ -1,0 +1,195 @@
+"""Segment pipeline + trajectory JSON format + trajectory CLIs."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pilotguru_tpu.formats.trajectory import (
+    Trajectory,
+    read_trajectory,
+    write_trajectory,
+)
+from pilotguru_tpu.vo.camera import CameraSettings, read_camera_settings, write_camera_settings
+from pilotguru_tpu.vo.pipeline import (
+    VideoFrame,
+    track_video_segments,
+    trajectory_from_tracker,
+)
+from pilotguru_tpu.vo.tracking import CameraModel, MonocularTracker, TrackerConfig
+from test_vo_tracking import SyntheticScene
+
+
+def _make_trajectory(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return Trajectory(
+        time_usec=np.arange(n, dtype=np.int64) * 33_000 + 1_000_000,
+        frame_id=np.arange(n, dtype=np.int64),
+        is_lost=np.zeros(n, bool),
+        translations=rng.normal(size=(n, 3)),
+        rotations=q,
+        plane=np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+        planar_directions=rng.normal(size=(n, 2)),
+        turn_angles=np.concatenate([[0.0], rng.normal(size=n - 1) * 0.01]),
+    )
+
+
+class TestTrajectoryFormat:
+    def test_round_trip(self, tmp_path):
+        traj = _make_trajectory()
+        path = str(tmp_path / "trajectory.json")
+        write_trajectory(traj, path)
+        back = read_trajectory(path)
+        np.testing.assert_array_equal(back.time_usec, traj.time_usec)
+        np.testing.assert_array_equal(back.frame_id, traj.frame_id)
+        np.testing.assert_allclose(back.translations, traj.translations)
+        np.testing.assert_allclose(back.rotations, traj.rotations)
+        np.testing.assert_allclose(back.plane, traj.plane)
+        np.testing.assert_allclose(
+            back.planar_directions, traj.planar_directions
+        )
+        # Turn angles round-trip through angular_velocity x dt; the write
+        # path's 1e-10 divisor guard (json_converters.cc:90) makes this
+        # lossy at ~dt/1e-10 relative, exactly like the reference.
+        np.testing.assert_allclose(
+            back.turn_angles[1:], traj.turn_angles[1:], rtol=1e-8
+        )
+        assert back.turn_angles[0] == 0
+
+    def test_json_shape_matches_reference(self, tmp_path):
+        traj = _make_trajectory(n=3)
+        path = str(tmp_path / "t.json")
+        write_trajectory(traj, path)
+        with open(path) as f:
+            root = json.load(f)
+        assert set(root.keys()) == {"plane", "trajectory"}
+        point = root["trajectory"][1]
+        assert set(point.keys()) == {
+            "time_usec", "is_lost", "frame_id", "pose",
+            "planar_direction", "angular_velocity",
+        }
+        assert set(point["pose"].keys()) == {"translation", "rotation"}
+        assert set(point["pose"]["rotation"].keys()) == {"w", "x", "y", "z"}
+        assert len(root["plane"]) == 2 and len(root["plane"][0]) == 3
+
+    def test_frame_id_offset(self, tmp_path):
+        traj = _make_trajectory(n=5)
+        path = str(tmp_path / "t.json")
+        write_trajectory(traj, path, frame_id_offset=2)
+        back = read_trajectory(path)
+        np.testing.assert_array_equal(back.frame_id, traj.frame_id - 2)
+
+
+class TestCameraSettings:
+    def test_round_trip(self, tmp_path):
+        s = CameraSettings(fx=458.0, fy=457.2, cx=320.5, cy=240.1, k1=-0.28)
+        path = str(tmp_path / "camera.yml")
+        write_camera_settings(s, path)
+        back = read_camera_settings(path)
+        assert back.fx == s.fx and back.cy == s.cy and back.k1 == s.k1
+        assert back.orb_features == 2000 and back.orb_levels == 8
+
+
+class TestSegmentPipeline:
+    def test_lost_restarts_new_segment(self, tmp_path):
+        scene = SyntheticScene(seed=3)
+        camera = CameraModel(1.0, 1.0, 0.0, 0.0)
+        config = TrackerConfig(
+            total_budget=256, min_init_matches=40, min_init_inliers=30,
+            min_track_inliers=15, match_search_radius=0.1,
+        )
+
+        def features(t):
+            kp, desc, valid = scene.frame_features(t)
+            if 8.0 < t < 9.0:  # mid-ride blackout forces a LOST break
+                valid[:] = False
+                valid[:40] = True
+                desc = scene.rng.integers(0, 2, size=desc.shape).astype(np.uint8)
+            return kp, desc, valid
+
+        times = np.arange(0, 20.0, 0.25)
+        frames = iter(
+            [
+                VideoFrame(gray=t, frame_id=i, time_usec=int(t * 1e6))
+                for i, t in enumerate(times)
+            ]
+        )
+        settings = CameraSettings(fx=1.0, fy=1.0, cx=0.0, cy=0.0)
+        segments, consumed = track_video_segments(
+            frames,
+            settings,
+            str(tmp_path),
+            make_tracker=lambda: MonocularTracker(camera, config, feature_fn=features),
+        )
+        assert consumed == len(times)
+        assert segments >= 2
+        files = sorted(glob.glob(os.path.join(str(tmp_path), "trajectory-*.json")))
+        assert len(files) == segments
+        first = read_trajectory(files[0])
+        assert first.plane is not None
+        assert first.turn_angles is not None
+        assert len(first) >= 10
+
+
+class TestTrajectoryClis:
+    @pytest.fixture()
+    def trajectory_file(self, tmp_path):
+        scene = SyntheticScene(seed=4)
+        camera = CameraModel(1.0, 1.0, 0.0, 0.0)
+        config = TrackerConfig(
+            total_budget=256, min_init_matches=40, min_init_inliers=30,
+            min_track_inliers=15, match_search_radius=0.1,
+        )
+        tracker = MonocularTracker(
+            camera, config, feature_fn=lambda t: scene.frame_features(t)
+        )
+        for i, t in enumerate(np.arange(0, 6.0, 0.25)):
+            tracker.process_frame(t, i, int(t * 1e6))
+        traj = trajectory_from_tracker(tracker)
+        from pilotguru_tpu.vo.pipeline import postprocess_segment
+
+        traj = postprocess_segment(traj)
+        assert traj is not None
+        path = str(tmp_path / "trajectory.json")
+        write_trajectory(traj, path)
+        return path
+
+    def test_smooth_heading_directions_cli(self, trajectory_file, tmp_path):
+        from pilotguru_tpu.cli.smooth_heading_directions import main
+
+        out = str(tmp_path / "smoothed.json")
+        assert main([
+            f"--trajectory_in_file={trajectory_file}",
+            "--sigma=2",
+            f"--trajectory_out_file={out}",
+        ]) == 0
+        before = read_trajectory(trajectory_file)
+        after = read_trajectory(out)
+        # Quaternions stay unit and get smoother.
+        np.testing.assert_allclose(
+            np.linalg.norm(after.rotations, axis=1), 1.0, atol=1e-9
+        )
+        assert np.std(np.diff(after.rotations, axis=0)) <= np.std(
+            np.diff(before.rotations, axis=0)
+        )
+        assert after.turn_angles is not None
+
+    def test_project_translations_cli(self, trajectory_file, tmp_path):
+        from pilotguru_tpu.cli.project_translations import main
+
+        out = str(tmp_path / "projected.json")
+        assert main([
+            f"--trajectory_in_file={trajectory_file}",
+            f"--trajectory_out_file={out}",
+        ]) == 0
+        before = read_trajectory(trajectory_file)
+        after = read_trajectory(out)
+        plane = before.plane
+        # Projected translations lie in the plane's span.
+        normal = np.cross(plane[0], plane[1])
+        normal /= np.linalg.norm(normal)
+        np.testing.assert_allclose(after.translations @ normal, 0.0, atol=1e-9)
