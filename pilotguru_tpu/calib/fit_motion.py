@@ -144,35 +144,45 @@ def fit_motion_arrays(
     gps_times_usec,
     gps_speeds,
     config: FitMotionConfig = FitMotionConfig(),
+    timer=None,
 ) -> FitMotionResult:
-    """Run the full pipeline on in-memory arrays."""
+    """Run the full pipeline on in-memory arrays.
+
+    Pass a utils.profiling.StageTimer to get per-stage wall times.
+    """
+    from pilotguru_tpu.utils.profiling import StageTimer
+
+    timer = timer or StageTimer("fit_motion")
     dtype = config.dtype
-    axes, _ = principal_rotation_axes(
-        rot_times_usec,
-        rot_rates,
-        config.principal_rotation_axis_integration_interval_usec,
-        dtype=dtype,
-    )
-    vertical = axes[0]
-    steering = angular_velocities_around_axis(
-        jnp.asarray(rot_rates, dtype), vertical
-    )
+    with timer.stage("rotation_axis_pca"):
+        axes, _ = principal_rotation_axes(
+            rot_times_usec,
+            rot_rates,
+            config.principal_rotation_axis_integration_interval_usec,
+            dtype=dtype,
+        )
+        vertical = axes[0]
+        steering = angular_velocities_around_axis(
+            jnp.asarray(rot_rates, dtype), vertical
+        )
 
-    ride = build_ride_pieces(
-        rot_times_usec, rot_rates, acc_times_usec, accelerations, gps_times_usec
-    )
-    problem = build_windowed_problem(
-        ride,
-        gps_times_usec,
-        gps_speeds,
-        locations_batch_size=config.locations_batch_size,
-        locations_shift_step=config.locations_shift_step,
-    )
+    with timer.stage("host_preprocess"):
+        ride = build_ride_pieces(
+            rot_times_usec, rot_rates, acc_times_usec, accelerations, gps_times_usec
+        )
+        problem = build_windowed_problem(
+            ride,
+            gps_times_usec,
+            gps_speeds,
+            locations_batch_size=config.locations_batch_size,
+            locations_shift_step=config.locations_shift_step,
+        )
 
-    out_weights = (problem.valid & problem.event_last).astype(np.float64)
-    event_ids = ride.piece_event_index[problem.global_piece_index].astype(np.int32)
+        out_weights = (problem.valid & problem.event_last).astype(np.float64)
+        event_ids = ride.piece_event_index[problem.global_piece_index].astype(np.int32)
 
-    sol, ev_sum, ev_count, forward_total = _solve_and_reduce(
+    with timer.stage("solve_and_reduce"):
+        sol, ev_sum, ev_count, forward_total = _solve_and_reduce(
         jnp.asarray(problem.rot_rates, dtype),
         jnp.asarray(problem.accelerations, dtype),
         jnp.asarray(problem.dt_sec, dtype),
@@ -182,28 +192,30 @@ def fit_motion_arrays(
         jnp.asarray(event_ids),
         num_segments=problem.num_segments,
         num_events=ride.num_events,
-        num_iters=config.optimization_iters,
-        min_velocity=float(config.forward_axis_inference_min_velocity_m_s),
-        min_rotation_rad=float(config.forward_axis_inference_min_rotation_rad),
-    )
-
-    ev_sum = np.asarray(ev_sum)
-    ev_count = np.asarray(ev_count)
-    covered = ev_count > 0
-    avg_speeds = ev_sum[covered] / ev_count[covered]
-    out_times = ride.event_times_usec[covered]
-
-    # Gaussian post-smoothing on seconds relative to the first covered event
-    # (fit_motion.cc:259-273).
-    if out_times.size:
-        t_sec = (out_times - out_times[0]).astype(np.float64) * 1e-6
-        smoothed = np.asarray(
-            smooth_time_series(
-                avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec, dtype=dtype
-            )
+            num_iters=config.optimization_iters,
+            min_velocity=float(config.forward_axis_inference_min_velocity_m_s),
+            min_rotation_rad=float(config.forward_axis_inference_min_rotation_rad),
         )
-    else:
-        smoothed = avg_speeds
+        ev_sum = np.asarray(ev_sum)
+        ev_count = np.asarray(ev_count)
+
+    with timer.stage("smooth_and_assemble"):
+        covered = ev_count > 0
+        avg_speeds = ev_sum[covered] / ev_count[covered]
+        out_times = ride.event_times_usec[covered]
+
+        # Gaussian post-smoothing on seconds relative to the first covered
+        # event (fit_motion.cc:259-273).
+        if out_times.size:
+            t_sec = (out_times - out_times[0]).astype(np.float64) * 1e-6
+            smoothed = np.asarray(
+                smooth_time_series(
+                    avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec,
+                    dtype=dtype,
+                )
+            )
+        else:
+            smoothed = avg_speeds
 
     forward = np.asarray(forward_total, np.float64)
     vert = np.asarray(vertical, np.float64)

@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument(
         "--forward_axis_inference_min_rotation_rad", type=float, default=0.2
     )
+    parser.add_argument(
+        "--print_timings",
+        action="store_true",
+        help="Print per-stage wall times after the run.",
+    )
     add_dtype_flag(parser)
     args = parser.parse_args(argv)
 
@@ -84,9 +89,18 @@ def main(argv=None):
         dtype=dtype,
     )
 
-    result = fit_motion_arrays(
-        rot_times, rot_rates, acc_times, accs, gps_times, gps_speeds, config
-    )
+    from pilotguru_tpu.utils.profiling import StageTimer, maybe_jax_profiler_trace
+
+    timer = StageTimer("fit_motion")
+    with maybe_jax_profiler_trace("fit_motion"):
+        result = fit_motion_arrays(
+            rot_times, rot_rates, acc_times, accs, gps_times, gps_speeds, config,
+            timer=timer,
+        )
+    if args.print_timings:
+        import sys as _sys
+
+        timer.report(out=_sys.stderr)
 
     if args.steering_out_json:
         json_io.write_timestamped_values(

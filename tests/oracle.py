@@ -401,3 +401,47 @@ class GPSInterpolationObjectiveOracle:
             x = x - cur * np.clip(g, clip_min, clip_max)
             cur *= decay
         return x
+
+
+def fixed_forward_axis_loss(
+    gps_times, gps_speeds, rot_times, rot_rates, acc_times, accs, params
+):
+    """Literal three-term FixedForwardAxisCalibrator objective
+    (/root/reference/src/calibration/velocity.cc:270-470): sequential
+    orientation chain, travel-distance + acceleration-match + axis-norm
+    penalty. params = [g_bias(3), l_bias(3), axis(3), velocities(E)]."""
+    params = np.asarray(params, np.float64)
+    g_bias, l_bias, axis = params[0:3], params[3:6], params[6:9]
+    velocities = params[9:]
+
+    ev_times, ev_idx = merge_time_series([rot_times, acc_times])
+    intervals = make_interpolation_intervals(gps_times, ev_times)
+    rot_rates = np.asarray(rot_rates, np.float64)
+    accs = np.asarray(accs, np.float64)
+    gps_speeds = np.asarray(gps_speeds, np.float64)
+
+    axis_norm = np.linalg.norm(axis)
+    loss_axis = 5e-3 * (axis_norm - 1.0) ** 2
+
+    q = np.array([1.0, 0, 0, 0])
+    loss_travel = 0.0
+    loss_accel = 0.0
+    for g, group in enumerate(intervals):
+        travel = np.zeros(3)
+        ref_dist = 0.0
+        for _, itp_end, s_us, e_us in group:
+            dt = (e_us - s_us) * 1e-6
+            rot_i, acc_i = ev_idx[itp_end]
+            r_pre = _quat_to_mat(q)
+            travel += dt * velocities[itp_end] * (r_pre @ axis)
+            ref_dist += dt * gps_speeds[g]
+            q = quat_mul(q, rotation_rate_to_quat(rot_rates[rot_i], dt))
+            r_post = _quat_to_mat(q)
+            s_now = velocities[itp_end]
+            s_next = velocities[min(itp_end + 1, len(velocities) - 1)]
+            delta_v_axis = (s_next * r_post - s_now * r_pre) @ axis
+            imu_delta_v = dt * (g_bias + r_pre @ (accs[acc_i] + l_bias))
+            loss_accel += np.sum((delta_v_axis - imu_delta_v) ** 2)
+        diff = np.linalg.norm(travel) - ref_dist
+        loss_travel += diff * diff
+    return loss_travel + loss_accel + loss_axis

@@ -140,7 +140,9 @@ def make_ride(
         gps_speeds=speed(t_sec(gps_t)),
         frame_times_usec=frame_t,
         true_local_bias=lb,
-        true_gravity_world=-g_world,  # solver's global bias convention
+        # Solver-convention global bias: a_world = R(a_meas + b_l) + b_g with
+        # a_meas = R^T(a_world - g_world) - b_l  =>  b_g == g_world.
+        true_gravity_world=g_world,
         t0_usec=t0_usec,
     )
     ride._speed = speed
