@@ -28,6 +28,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pilotguru_tpu.geometry.quaternion import (
+    quat_cumulative_product,
+    quat_to_rotation_matrix,
+    rotation_rate_to_quat,
+)
 from pilotguru_tpu.geometry.strapdown import integrate_motion
 from pilotguru_tpu.solvers.levenberg_marquardt import LMResult, levenberg_marquardt
 
@@ -84,6 +89,60 @@ def window_residuals(
     # sqrt differentiable there with an exactly-zero gradient contribution.
     norm = jnp.sqrt(jnp.sum(integ.travel * integ.travel, axis=-1) + 1e-30)
     return norm - integ.reference_distance
+
+
+def precompute_affine_travel(
+    rot_rates, accelerations, dt_sec, segment_ids, gps_speeds, num_segments
+):
+    """Per-GPS-interval travel as an affine function of the 9 parameters.
+
+    The orientation chain depends only on the gyro, never on the fitted
+    parameters, so with R_s the pre-step rotations:
+
+      v_t = v0 + sum_{s<=t} dt_s (R_s a_s + R_s b_l + b_g)
+      travel_g = sum_{t in g} dt_t v_t  =  A_g @ p + c_g
+
+    with p = [b_g, b_l, v0]. A [G, 3, 9] and c [G, 3] are built with two
+    cumulative sums + segment sums; afterwards every solver iteration costs
+    O(G x 27) instead of re-integrating all pieces — the key restructuring
+    that lets a 30-iteration multi-start Gauss-Newton run in microseconds
+    per window.
+    """
+    dtype = jnp.result_type(rot_rates)
+    dt = jnp.asarray(dt_sec, dtype)
+    dqs = rotation_rate_to_quat(rot_rates, dt)
+    q_post = quat_cumulative_product(dqs)
+    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
+    q_pre = jnp.concatenate([identity[None, :], q_post[:-1]], axis=0)
+    r_pre = quat_to_rotation_matrix(q_pre)  # [P, 3, 3]
+
+    ra = jnp.einsum("pij,pj->pi", r_pre, accelerations)  # [P, 3]
+    cum_ra = jnp.cumsum(dt[:, None] * ra, axis=0)  # [P, 3]
+    cum_r = jnp.cumsum(dt[:, None, None] * r_pre, axis=0)  # [P, 3, 3]
+    cum_t = jnp.cumsum(dt)  # [P]
+
+    c = jax.ops.segment_sum(dt[:, None] * cum_ra, segment_ids, num_segments)
+    a_bl = jax.ops.segment_sum(
+        dt[:, None, None] * cum_r, segment_ids, num_segments
+    )  # [G, 3, 3]
+    a_bg_scale = jax.ops.segment_sum(dt * cum_t, segment_ids, num_segments)
+    a_v0_scale = jax.ops.segment_sum(dt, segment_ids, num_segments)
+    eye = jnp.eye(3, dtype=dtype)
+    a_bg = a_bg_scale[:, None, None] * eye[None]
+    a_v0 = a_v0_scale[:, None, None] * eye[None]
+    a = jnp.concatenate([a_bg, a_bl, a_v0], axis=2)  # [G, 3, 9]
+
+    ref_dist = jax.ops.segment_sum(
+        dt * gps_speeds[segment_ids], segment_ids, num_segments
+    )
+    return a, c, ref_dist
+
+
+def affine_window_residuals(params, a, c, ref_dist):
+    """r_g = ||A_g p + c_g|| - d_g with the same 1e-30 norm guard."""
+    travel = jnp.einsum("gik,k->gi", a, params) + c
+    norm = jnp.sqrt(jnp.sum(travel * travel, axis=-1) + 1e-30)
+    return norm - ref_dist
 
 
 def window_loss(
@@ -169,16 +228,22 @@ def solve_windows(
     dirs = jnp.asarray(V0_START_DIRECTIONS, dtype)
 
     def solve_one(rot, acc, dt, seg, speeds):
-        residual = partial(
-            window_residuals,
-            rot_rates=rot,
-            accelerations=acc,
-            dt_sec=dt,
-            segment_ids=seg,
-            gps_speeds=speeds,
-            num_segments=num_segments,
+        # One-time affine precompute (the only pass over the pieces); every
+        # LM iteration then works on the [G, 3, 9] structure directly.
+        a, c, ref_dist = precompute_affine_travel(
+            rot, acc, dt, seg, speeds, num_segments
         )
-        x0g = gravity_init(rot, acc, dt, dtype)
+        residual = partial(affine_window_residuals, a=a, c=c, ref_dist=ref_dist)
+        # Gravity init from the affine structure: with zero params the final
+        # velocity is cum_ra[-1]; its time average estimates -b_g. Equivalent
+        # to gravity_init (which integrates the pieces again).
+        total_time = jnp.sum(dt) + 1e-30
+        integ = integrate_motion(
+            rot, acc, dt, jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+            jnp.zeros(3, dtype),
+        )
+        g_est = -integ.velocities[-1] / total_time
+        x0g = jnp.concatenate([g_est, jnp.zeros(6, dtype)])
         if not multistart:
             return levenberg_marquardt(residual, x0g, num_iters=num_iters)
         s0 = speeds[1]  # speed at the window's first interval end

@@ -69,13 +69,15 @@ class FitMotionResult:
     forward_axis: np.ndarray  # [3] unit, in device frame
     window_params: np.ndarray  # [W, 9] fitted calibration parameters
     window_final_loss: np.ndarray  # [W] final sum-of-squares residuals
-    problem: WindowedProblem = field(repr=False, default=None)
+
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "num_segments",
+        "max_pieces",
+        "batch_size",
+        "num_gps",
         "num_events",
         "num_iters",
         "min_velocity",
@@ -83,28 +85,66 @@ class FitMotionResult:
     ),
 )
 def _solve_and_reduce(
-    rot_rates,  # [W, P, 3]
-    accelerations,  # [W, P, 3]
-    dt_sec,  # [W, P]
-    segment_ids,  # [W, P]
-    gps_speeds,  # [W, B]
-    out_weights,  # [W, P] float — valid & event-last mask
-    event_ids,  # [W, P] int32
-    num_segments: int,
+    piece_rot,  # [P, 3] flat piece arrays (uploaded once, ~MBs)
+    piece_acc,  # [P, 3]
+    piece_dt,  # [P]
+    piece_gps_end,  # [P] int32
+    piece_event,  # [P] int32
+    piece_next_differs,  # [P] bool
+    gps_speeds,  # [G]
+    window_lo,  # [W] int32 — first global piece index per window
+    window_hi,  # [W] int32
+    window_start,  # [W] int32 — window's first GPS index
+    max_pieces: int,
+    batch_size: int,
+    num_gps: int,
     num_events: int,
     num_iters: int,
     min_velocity: float,
     min_rotation_rad: float,
 ):
-    """One device program: batched GN solve + replay + cross-window reductions."""
-    dtype = rot_rates.dtype
+    """One device program: window gather/padding + batched GN solve + replay
+    + cross-window reductions.
+
+    The padded [W, Pmax] tensors are built ON DEVICE from the flat piece
+    arrays (the windows are contiguous slices), so the host uploads ~15x
+    less data than shipping pre-padded windows and does no big gathers.
+    """
+    dtype = piece_rot.dtype
+    num_pieces = piece_rot.shape[0]
+
+    offs = jnp.arange(max_pieces, dtype=jnp.int32)
+    gidx = window_lo[:, None] + offs[None, :]  # [W, Pmax]
+    valid = gidx < window_hi[:, None]
+    gidx_c = jnp.minimum(gidx, num_pieces - 1)
+
+    rot_rates = piece_rot[gidx_c] * valid[..., None]
+    accelerations = piece_acc[gidx_c] * valid[..., None]
+    dt_sec = piece_dt[gidx_c] * valid
+    segment_ids = jnp.where(
+        valid, piece_gps_end[gidx_c] - window_start[:, None], 0
+    ).astype(jnp.int32)
+    event_ids = piece_event[gidx_c].astype(jnp.int32)
+    # Last piece of its IMU event within the window.
+    event_last = valid & (
+        piece_next_differs[gidx_c] | (gidx == window_hi[:, None] - 1)
+    )
+    out_weights = event_last.astype(dtype)
+
+    bofs = jnp.arange(batch_size, dtype=jnp.int32)
+    widx = window_start[:, None] + bofs[None, :]
+    wvalid = widx < jnp.minimum(window_start[:, None] + batch_size, num_gps)
+    gps_speeds_w = jnp.where(
+        wvalid, gps_speeds[jnp.minimum(widx, num_gps - 1)], 0.0
+    )
+
     sol = solve_windows(
         rot_rates,
         accelerations,
         dt_sec,
         segment_ids,
-        gps_speeds,
-        num_segments,
+        gps_speeds_w,
+        batch_size,
         num_iters=num_iters,
         dtype=dtype,
     )
@@ -119,7 +159,7 @@ def _solve_and_reduce(
     # Cross-window per-event speed averaging (fit_motion.cc:216-221, 259-269):
     # each window contributes each covered event's final-piece speed.
     flat_ids = event_ids.reshape(-1)
-    flat_w = out_weights.reshape(-1).astype(dtype)
+    flat_w = out_weights.reshape(-1)
     ev_sum = jax.ops.segment_sum(speeds.reshape(-1) * flat_w, flat_ids, num_events)
     ev_count = jax.ops.segment_sum(flat_w, flat_ids, num_events)
 
@@ -170,28 +210,34 @@ def fit_motion_arrays(
         ride = build_ride_pieces(
             rot_times_usec, rot_rates, acc_times_usec, accelerations, gps_times_usec
         )
-        problem = build_windowed_problem(
-            ride,
-            gps_times_usec,
-            gps_speeds,
-            locations_batch_size=config.locations_batch_size,
-            locations_shift_step=config.locations_shift_step,
+        gps_times = np.asarray(gps_times_usec, np.int64)
+        num_gps = gps_times.shape[0]
+        starts = np.arange(
+            0, num_gps, config.locations_shift_step, dtype=np.int64
         )
-
-        out_weights = (problem.valid & problem.event_last).astype(np.float64)
-        event_ids = ride.piece_event_index[problem.global_piece_index].astype(np.int32)
+        ends = np.minimum(starts + config.locations_batch_size, num_gps)
+        lo = np.searchsorted(ride.piece_end_usec, gps_times[starts], side="right")
+        hi = np.searchsorted(ride.piece_end_usec, gps_times[ends - 1], side="right")
+        hi = np.maximum(hi, lo)
+        pmax = int(np.max(hi - lo)) if starts.size else 1
+        pmax = max(-(-pmax // 8) * 8, 8)
 
     with timer.stage("solve_and_reduce"):
         sol, ev_sum, ev_count, forward_total = _solve_and_reduce(
-        jnp.asarray(problem.rot_rates, dtype),
-        jnp.asarray(problem.accelerations, dtype),
-        jnp.asarray(problem.dt_sec, dtype),
-        jnp.asarray(problem.segment_ids),
-        jnp.asarray(problem.gps_speeds, dtype),
-        jnp.asarray(out_weights, dtype),
-        jnp.asarray(event_ids),
-        num_segments=problem.num_segments,
-        num_events=ride.num_events,
+            jnp.asarray(ride.piece_rot_rates, dtype),
+            jnp.asarray(ride.piece_accelerations, dtype),
+            jnp.asarray(ride.piece_dt_sec, dtype),
+            jnp.asarray(ride.piece_gps_end_index, jnp.int32),
+            jnp.asarray(ride.piece_event_index, jnp.int32),
+            jnp.asarray(ride.piece_next_event_differs),
+            jnp.asarray(gps_speeds, dtype),
+            jnp.asarray(lo, jnp.int32),
+            jnp.asarray(hi, jnp.int32),
+            jnp.asarray(starts, jnp.int32),
+            max_pieces=pmax,
+            batch_size=config.locations_batch_size,
+            num_gps=num_gps,
+            num_events=ride.num_events,
             num_iters=config.optimization_iters,
             min_velocity=float(config.forward_axis_inference_min_velocity_m_s),
             min_rotation_rad=float(config.forward_axis_inference_min_rotation_rad),
@@ -231,7 +277,6 @@ def fit_motion_arrays(
         forward_axis=forward,
         window_params=np.asarray(sol.x, np.float64),
         window_final_loss=np.asarray(sol.loss, np.float64),
-        problem=problem,
     )
 
 

@@ -42,12 +42,33 @@ def video_frames(
 ) -> Iterator[VideoFrame]:
     """Decode a ride video to grayscale frames with timestamps.
 
-    Host-side cv2 decode (the reference uses libav directly,
-    src/io/image_sequence_reader.cc; a native decoder is planned for the
-    C++ runtime layer). Rotation metadata handling: cv2 >= 4.5 applies the
-    rotation automatically; explicit flips mirror the reference's
-    --vertical_flip/--horizontal_flip flags.
+    Prefers the native libav reader (native/libpgvideo.so: rotation
+    metadata + exact presentation timestamps, mirroring the reference's
+    src/io/image_sequence_reader.cc); falls back to cv2 when the library is
+    not built. Flips mirror --vertical_flip/--horizontal_flip.
     """
+    from pilotguru_tpu.video import native as native_video
+
+    if native_video.available():
+        import cv2
+
+        with native_video.NativeVideoReader(
+            video_path, vertical_flip, horizontal_flip
+        ) as reader:
+            frame_id = 0
+            for rgb, pts_usec in reader:
+                gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+                if scale != 1.0:
+                    gray = cv2.resize(
+                        gray, None, fx=scale, fy=scale,
+                        interpolation=cv2.INTER_AREA,
+                    )
+                yield VideoFrame(
+                    gray.astype(np.float32) / 255.0, frame_id, pts_usec
+                )
+                frame_id += 1
+        return
+
     import cv2
 
     cap = cv2.VideoCapture(video_path)
