@@ -37,6 +37,7 @@ from pilotguru_tpu.vo.pose import (
     rotvec_to_matrix,
     transform,
 )
+from pilotguru_tpu.vo.relocalize import relocalize
 from pilotguru_tpu.vo.twoview import triangulate, two_view_reconstruction
 
 NOT_INITIALIZED = "NOT_INITIALIZED"
@@ -279,11 +280,10 @@ class MonocularTracker:
         return np.concatenate([np.asarray(matrix_to_rotvec(jnp.asarray(r))), t])
 
     # --------------------------------------------------------------- track
-    def _track(self, kp_norm, desc, valid, frame_id, time_usec):
-        predicted = self._compose(self._motion, self._pose)
-
-        # Project valid map points with the predicted pose; match in a window
-        # (SearchByProjection -> TrackWithMotionModel analogue).
+    def _track_attempt(self, predicted, kp_norm, desc, valid):
+        """Projected matching + robust pose refinement around a pose guess
+        (SearchByProjection + PoseOptimization analogue). Returns
+        (pose_result, match_idx, inliers)."""
         cam = np.asarray(
             _transform(jnp.asarray(predicted), jnp.asarray(self.points))
         )
@@ -310,15 +310,50 @@ class MonocularTracker:
             jnp.asarray(obs),
             jnp.asarray(match_ok),
         )
-        inliers = np.asarray(res.inliers)
+        return res, match_idx, np.asarray(res.inliers)
+
+    def _track(self, kp_norm, desc, valid, frame_id, time_usec):
+        predicted = self._compose(self._motion, self._pose)
+        res, match_idx, inliers = self._track_attempt(
+            predicted, kp_norm, desc, valid
+        )
         num_inliers = int(res.num_inliers)
 
         if num_inliers < self.config.min_track_inliers:
-            self.state = LOST
-            self.trajectory.append(
-                FramePose(frame_id, time_usec, self._pose.copy(), is_lost=True)
+            # Motion-model tracking failed: attempt relocalization from
+            # scratch against the whole map before falling to LOST
+            # (Tracking.cc: Relocalization() precedes the LOST state). A
+            # relocalized pose only counts if GUIDED re-tracking around it
+            # reaches full tracking quality — a plausible-but-wrong pose
+            # must never replace the state (it would poison the motion
+            # model and lose the segment within a few frames).
+            reloc = relocalize(
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_desc),
+                jnp.asarray(self.point_valid),
+                jnp.asarray(kp_norm),
+                jnp.asarray(desc),
+                jnp.asarray(valid),
+                self._next_key(),
             )
-            return
+            accepted = False
+            if int(reloc.num_inliers) >= max(8, self.config.min_track_inliers // 2):
+                res2, match_idx2, inliers2 = self._track_attempt(
+                    np.asarray(reloc.pose6), kp_norm, desc, valid
+                )
+                if int(res2.num_inliers) >= self.config.min_track_inliers:
+                    res, match_idx, inliers = res2, match_idx2, inliers2
+                    num_inliers = int(res2.num_inliers)
+                    self._motion = np.zeros(6)  # motion model invalidated
+                    accepted = True
+            if not accepted:
+                self.state = LOST
+                self.trajectory.append(
+                    FramePose(
+                        frame_id, time_usec, self._pose.copy(), is_lost=True
+                    )
+                )
+                return
 
         new_pose = np.asarray(res.pose6)
         self._motion = self._pose_delta(self._pose, new_pose)

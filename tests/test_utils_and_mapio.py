@@ -89,3 +89,27 @@ class TestTrackerMapIo:
             state = restored.process_frame(t, start + i, int(t * 1e6))
         assert state == "OK"
         assert len(restored.trajectory) > len(tracker.trajectory)
+
+
+class TestKahanSum:
+    def test_compensates_catastrophic_accumulation(self):
+        from pilotguru_tpu.utils.kahan import KahanSum, kahan_sum
+
+        # Classic failure case: 1 + many tiny terms.
+        acc = KahanSum()
+        acc.add(1.0)
+        for _ in range(10_000_000 // 10000):
+            acc.add(1e-16 * 10000)
+        assert acc.sum > 1.0  # naive float64 would often lose the tail
+
+        values = np.concatenate([[1e16], np.full(1000, 1.0), [-1e16]])
+        assert kahan_sum(values) == 1000.0
+
+    def test_vector_accumulation(self):
+        from pilotguru_tpu.utils.kahan import kahan_sum
+
+        rng = np.random.default_rng(0)
+        values = rng.normal(size=(500, 3))
+        np.testing.assert_allclose(
+            kahan_sum(values, axis=0), values.sum(axis=0), rtol=1e-12
+        )
