@@ -6,6 +6,11 @@ from pilotguru_tpu.calib.accelerometer import (  # noqa: F401
     window_loss,
     window_residuals,
 )
+from pilotguru_tpu.calib.corpus import (  # noqa: F401
+    CorpusBuckets,
+    RideArrays,
+    fit_motion_corpus,
+)
 from pilotguru_tpu.calib.fit_motion import (  # noqa: F401
     FitMotionConfig,
     FitMotionResult,

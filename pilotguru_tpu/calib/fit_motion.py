@@ -18,24 +18,15 @@ TPU-native pipeline with the same inputs/outputs as the reference binary
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pilotguru_tpu.calib.accelerometer import (
-    NUM_PARAMS,
-    solve_windows,
-    window_residuals,
-)
-from pilotguru_tpu.calib.pieces import (
-    RidePieces,
-    WindowedProblem,
-    build_ride_pieces,
-    build_windowed_problem,
-)
+from pilotguru_tpu.calib.accelerometer import solve_windows, window_residuals
+from pilotguru_tpu.calib.pieces import WindowedProblem, build_ride_pieces
 from pilotguru_tpu.calib.rotation_axis import (
     angular_velocities_around_axis,
     principal_rotation_axes,
@@ -77,7 +68,6 @@ class FitMotionResult:
     static_argnames=(
         "max_pieces",
         "batch_size",
-        "num_gps",
         "num_events",
         "num_iters",
         "min_velocity",
@@ -95,9 +85,9 @@ def _solve_and_reduce(
     window_lo,  # [W] int32 — first global piece index per window
     window_hi,  # [W] int32
     window_start,  # [W] int32 — window's first GPS index
+    num_gps,  # [] int32 — REAL gps count; arrays may be padded past it
     max_pieces: int,
     batch_size: int,
-    num_gps: int,
     num_events: int,
     num_iters: int,
     min_velocity: float,
@@ -176,6 +166,25 @@ def _solve_and_reduce(
     return sol, ev_sum, ev_count, forward_total
 
 
+def build_window_index(ride, gps_times_usec, batch_size: int, shift_step: int):
+    """Sliding GPS windows -> contiguous piece slices (fit_motion.cc:179-186).
+
+    Returns (lo, hi, starts, pmax): per-window first/one-past-last global
+    piece index, first GPS index, and the padded per-window piece budget
+    (rounded up to a multiple of 8 for clean device tiling).
+    """
+    gps_times = np.asarray(gps_times_usec, np.int64)
+    num_gps = gps_times.shape[0]
+    starts = np.arange(0, num_gps, shift_step, dtype=np.int64)
+    ends = np.minimum(starts + batch_size, num_gps)
+    lo = np.searchsorted(ride.piece_end_usec, gps_times[starts], side="right")
+    hi = np.searchsorted(ride.piece_end_usec, gps_times[ends - 1], side="right")
+    hi = np.maximum(hi, lo)
+    pmax = int(np.max(hi - lo)) if starts.size else 1
+    pmax = max(-(-pmax // 8) * 8, 8)
+    return lo, hi, starts, pmax
+
+
 def fit_motion_arrays(
     rot_times_usec,
     rot_rates,
@@ -210,17 +219,13 @@ def fit_motion_arrays(
         ride = build_ride_pieces(
             rot_times_usec, rot_rates, acc_times_usec, accelerations, gps_times_usec
         )
-        gps_times = np.asarray(gps_times_usec, np.int64)
-        num_gps = gps_times.shape[0]
-        starts = np.arange(
-            0, num_gps, config.locations_shift_step, dtype=np.int64
+        num_gps = np.asarray(gps_times_usec).shape[0]
+        lo, hi, starts, pmax = build_window_index(
+            ride,
+            gps_times_usec,
+            config.locations_batch_size,
+            config.locations_shift_step,
         )
-        ends = np.minimum(starts + config.locations_batch_size, num_gps)
-        lo = np.searchsorted(ride.piece_end_usec, gps_times[starts], side="right")
-        hi = np.searchsorted(ride.piece_end_usec, gps_times[ends - 1], side="right")
-        hi = np.maximum(hi, lo)
-        pmax = int(np.max(hi - lo)) if starts.size else 1
-        pmax = max(-(-pmax // 8) * 8, 8)
 
     with timer.stage("solve_and_reduce"):
         sol, ev_sum, ev_count, forward_total = _solve_and_reduce(
@@ -234,9 +239,9 @@ def fit_motion_arrays(
             jnp.asarray(lo, jnp.int32),
             jnp.asarray(hi, jnp.int32),
             jnp.asarray(starts, jnp.int32),
+            jnp.int32(num_gps),
             max_pieces=pmax,
             batch_size=config.locations_batch_size,
-            num_gps=num_gps,
             num_events=ride.num_events,
             num_iters=config.optimization_iters,
             min_velocity=float(config.forward_axis_inference_min_velocity_m_s),
@@ -246,22 +251,50 @@ def fit_motion_arrays(
         ev_count = np.asarray(ev_count)
 
     with timer.stage("smooth_and_assemble"):
-        covered = ev_count > 0
-        avg_speeds = ev_sum[covered] / ev_count[covered]
-        out_times = ride.event_times_usec[covered]
+        result = assemble_result(
+            ride,
+            rot_times_usec,
+            vertical,
+            steering,
+            np.asarray(sol.x, np.float64),
+            np.asarray(sol.loss, np.float64),
+            ev_sum,
+            ev_count,
+            np.asarray(forward_total, np.float64),
+            config,
+        )
+    return result
 
-        # Gaussian post-smoothing on seconds relative to the first covered
-        # event (fit_motion.cc:259-273).
-        if out_times.size:
-            t_sec = (out_times - out_times[0]).astype(np.float64) * 1e-6
-            smoothed = np.asarray(
-                smooth_time_series(
-                    avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec,
-                    dtype=dtype,
-                )
+
+def assemble_result(
+    ride,
+    rot_times_usec,
+    vertical,
+    steering,
+    window_params,  # [W, 9] float64
+    window_loss,  # [W] float64
+    ev_sum,  # [E] per-event speed sums (host numpy)
+    ev_count,  # [E]
+    forward_total,  # [3]
+    config: FitMotionConfig,
+) -> FitMotionResult:
+    """Host post-processing shared by single-ride and corpus paths: covered-
+    event averaging, Gaussian post-smoothing (fit_motion.cc:259-273), and
+    forward-axis orthogonalization + normalization (fit_motion.cc:281-283)."""
+    covered = ev_count > 0
+    avg_speeds = ev_sum[covered] / ev_count[covered]
+    out_times = ride.event_times_usec[covered]
+
+    if out_times.size:
+        t_sec = (out_times - out_times[0]).astype(np.float64) * 1e-6
+        smoothed = np.asarray(
+            smooth_time_series(
+                avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec,
+                dtype=config.dtype,
             )
-        else:
-            smoothed = avg_speeds
+        )
+    else:
+        smoothed = avg_speeds
 
     forward = np.asarray(forward_total, np.float64)
     vert = np.asarray(vertical, np.float64)
@@ -275,8 +308,8 @@ def fit_motion_arrays(
         velocity_times_usec=out_times,
         velocities_m_s=smoothed,
         forward_axis=forward,
-        window_params=np.asarray(sol.x, np.float64),
-        window_final_loss=np.asarray(sol.loss, np.float64),
+        window_params=window_params,
+        window_final_loss=window_loss,
     )
 
 

@@ -16,9 +16,20 @@ def setup_backend(dtype_flag: str = "auto"):
     float64 on CPU matches the reference numerics exactly; float32 on TPU
     keeps the MXU/VPU fast paths (TPUs emulate f64 slowly). Returns the jnp
     dtype to use.
+
+    PILOTGURU_TPU_PLATFORM=cpu|tpu|... force-selects the JAX platform. This
+    exists because site-installed accelerator plugins can ignore the
+    standard JAX_PLATFORMS environment variable; the config update here
+    always wins (as long as no computation ran yet).
     """
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    platform_override = os.environ.get("PILOTGURU_TPU_PLATFORM")
+    if platform_override:
+        jax.config.update("jax_platforms", platform_override)
 
     if dtype_flag == "auto":
         platform = jax.default_backend()

@@ -74,8 +74,6 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    import jax
-
     from pilotguru_tpu.ml import augmentation as aug
     from pilotguru_tpu.ml import data as data_lib
     from pilotguru_tpu.ml import models, training, weighting

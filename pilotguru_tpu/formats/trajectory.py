@@ -21,7 +21,7 @@ multiplying (json_converters.cc:81-92, 127-133).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 PROFILE_DIR_ENV = "PILOTGURU_TPU_PROFILE_DIR"
 

@@ -7,7 +7,7 @@ are closed-form vectorized array programs.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

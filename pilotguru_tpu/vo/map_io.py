@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pilotguru_tpu.vo.tracking import Keyframe, MonocularTracker, OK
+from pilotguru_tpu.vo.tracking import Keyframe, MonocularTracker
 
 FORMAT_VERSION = 1
 

@@ -21,8 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from pilotguru_tpu.vo import matching
-from pilotguru_tpu.vo.pose import optimize_pose, project, rotvec_to_matrix
-from pilotguru_tpu.vo.pose import matrix_to_rotvec, transform
+from pilotguru_tpu.vo.pose import (
+    matrix_to_rotvec,
+    optimize_pose,
+    project,
+    transform,
+)
 
 
 class RelocalizationResult(NamedTuple):

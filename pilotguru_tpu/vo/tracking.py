@@ -19,8 +19,8 @@ States mirror the reference enum: NOT_INITIALIZED -> OK -> LOST
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 import jax
 import jax.numpy as jnp
