@@ -7,7 +7,10 @@ wire contract the kia_steering_nn controller consumes
 (src/kia_steering_nn.cc:22-35, src/nn_comm/nn_comm.cc:53-55).
 
 Differences: the preview window (--show_preview) is off by default for
-headless use; ride logging writes via cv2 instead of scikit-video.
+headless use; ride logging writes via cv2 instead of scikit-video; camera
+capture runs on a daemon thread through a latest-value cell (conflation on
+the input side, matching the CONFLATE output socket), while file sources
+process every frame synchronously.
 """
 
 from __future__ import annotations
@@ -88,15 +91,46 @@ def main(argv=None):
 
         os.makedirs(args.log_dir, exist_ok=True)
 
+    # Camera sources capture on a daemon thread into a latest-value cell:
+    # inference always sees the FRESHEST frame instead of draining the
+    # capture queue with stale ones (same conflation semantics as the ZMQ
+    # socket; reference threading_helpers.py:3-27). File sources stay
+    # synchronous so every frame is processed deterministically.
+    live_camera = args.in_video_device_id is not None
+    latest_frame = None
+    if live_camera:
+        import threading
+
+        from pilotguru_tpu.utils.latest_value import SynchronizedLatestValue
+
+        latest_frame = SynchronizedLatestValue()
+
+        def capture_loop():
+            while True:
+                ok, bgr = capture.read()
+                if not ok:
+                    latest_frame.set(None)
+                    return
+                latest_frame.set(bgr)
+
+        threading.Thread(target=capture_loop, daemon=True).start()
+
     trajectory = None
     frame_interval = 1.0 / args.delay_max_fps if args.delay_max_fps > 0 else 0.0
     skip_interval = 1.0 / args.skip_max_fps if args.skip_max_fps > 0 else 0.0
     last_time = 0.0
     last_kept = 0.0
     frames_done = 0
+    last_update_id = 0
     print("Live prediction started.")
     while args.max_frames < 0 or frames_done < args.max_frames:
-        ok, bgr = capture.read()
+        if live_camera:
+            bgr, last_update_id = latest_frame.get_next(
+                last_update_id, timeout=5.0
+            )
+            ok = bgr is not None
+        else:
+            ok, bgr = capture.read()
         if not ok:
             break
         now = time.time()

@@ -113,3 +113,51 @@ class TestKahanSum:
         np.testing.assert_allclose(
             kahan_sum(values, axis=0), values.sum(axis=0), rtol=1e-12
         )
+
+
+class TestSynchronizedLatestValue:
+    def test_overwrite_keeps_only_latest(self):
+        from pilotguru_tpu.utils.latest_value import SynchronizedLatestValue
+
+        cell = SynchronizedLatestValue()
+        assert cell.latest() == (None, 0)
+        cell.set("a")
+        last_id = cell.set("b")
+        value, update_id = cell.get_next(0, timeout=1.0)
+        assert (value, update_id) == ("b", last_id)
+
+    def test_get_next_times_out_without_newer_value(self):
+        from pilotguru_tpu.utils.latest_value import SynchronizedLatestValue
+
+        cell = SynchronizedLatestValue()
+        update_id = cell.set(42)
+        value, same_id = cell.get_next(update_id, timeout=0.05)
+        assert value is None and same_id == update_id
+
+    def test_producer_consumer_threads(self):
+        import threading
+
+        from pilotguru_tpu.utils.latest_value import SynchronizedLatestValue
+
+        cell = SynchronizedLatestValue()
+        seen = []
+
+        def consumer():
+            update_id = 0
+            while True:
+                value, update_id = cell.get_next(update_id, timeout=2.0)
+                if value is None:
+                    return
+                seen.append(value)
+                if value == 99:
+                    return
+
+        t = threading.Thread(target=consumer)
+        t.start()
+        for i in range(100):
+            cell.set(i)
+        t.join(timeout=5.0)
+        assert not t.is_alive()
+        # The consumer saw the final value and only ever-fresher values.
+        assert seen[-1] == 99 or seen == []
+        assert seen == sorted(seen)
