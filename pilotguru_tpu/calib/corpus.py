@@ -68,6 +68,9 @@ class CorpusBuckets:
     gps: int = 256
     events: int = 4096
     window_pieces: int = 64  # per-window piece budget (pmax) granularity
+    rotations: int = 4096  # raw gyro rows (steering projection)
+    rotation_chunks: int = 64  # PCA quaternion chunks
+    chunk_steps: int = 32  # gyro steps per PCA chunk
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -120,11 +123,18 @@ def fit_motion_corpus(
                 ride_arrays.rot_rates,
                 config.principal_rotation_axis_integration_interval_usec,
                 dtype=dtype,
+                chunk_bucket=buckets.rotation_chunks,
+                step_bucket=buckets.chunk_steps,
             )
             vertical = axes[0]
-            steering = angular_velocities_around_axis(
-                jnp.asarray(ride_arrays.rot_rates, dtype), vertical
+            num_rot = np.asarray(ride_arrays.rot_rates).shape[0]
+            rot_padded = _pad_axis0(
+                np.asarray(ride_arrays.rot_rates),
+                _round_up(num_rot, buckets.rotations),
             )
+            steering = angular_velocities_around_axis(
+                jnp.asarray(rot_padded, dtype), vertical
+            )[:num_rot]
 
         with timer.stage("host_preprocess"):
             ride = build_ride_pieces(
@@ -214,6 +224,7 @@ def fit_motion_corpus(
                     ev_count,
                     np.asarray(forward_total, np.float64),
                     config,
+                    event_bucket=buckets.events,
                 )
             )
 

@@ -277,10 +277,13 @@ def assemble_result(
     ev_count,  # [E]
     forward_total,  # [3]
     config: FitMotionConfig,
+    event_bucket: int = None,
 ) -> FitMotionResult:
     """Host post-processing shared by single-ride and corpus paths: covered-
     event averaging, Gaussian post-smoothing (fit_motion.cc:259-273), and
-    forward-axis orthogonalization + normalization (fit_motion.cc:281-283)."""
+    forward-axis orthogonalization + normalization (fit_motion.cc:281-283).
+
+    ``event_bucket`` shape-buckets the smoothing program (corpus path)."""
     covered = ev_count > 0
     avg_speeds = ev_sum[covered] / ev_count[covered]
     out_times = ride.event_times_usec[covered]
@@ -291,6 +294,8 @@ def assemble_result(
             smooth_time_series(
                 avg_speeds, t_sec, t_sec, config.post_smoothing_sigma_sec,
                 dtype=config.dtype,
+                sample_bucket=event_bucket,
+                target_bucket=event_bucket,
             )
         )
     else:

@@ -44,16 +44,29 @@ def chunk_boundaries(times_usec: np.ndarray, interval_usec: int) -> np.ndarray:
     return np.asarray(ends, np.int64)
 
 
+def _round_up(n: int, multiple: int) -> int:
+    return max(-(-n // multiple) * multiple, multiple)
+
+
 def integrate_rotation_chunks(
     times_usec: np.ndarray,
     rot_rates: np.ndarray,
     interval_usec: int,
     dtype=jnp.float64,
+    chunk_bucket: int | None = None,
+    step_bucket: int | None = None,
+    return_mask: bool = False,
 ):
-    """Per-chunk integrated quaternions, [C, 4].
+    """Per-chunk integrated quaternions, [C, 4] (or (quats, mask)).
 
     Each chunk's quaternion is the ordered product of per-step delta
     quaternions (rotation.cc:32-36), computed as a padded associative scan.
+
+    ``chunk_bucket`` / ``step_bucket`` round the device shapes up so rides
+    of similar length reuse one compiled scan (the corpus path): padded
+    steps AND padded chunks integrate to exact identity quaternions, and
+    ``return_mask=True`` yields the real-chunk mask for weighted downstream
+    statistics.
     """
     times = np.asarray(times_usec, np.int64)
     rates = np.asarray(rot_rates, np.float64)
@@ -64,7 +77,15 @@ def integrate_rotation_chunks(
             f"(got {ends.size}); ride too short for axis inference"
         )
     starts = np.concatenate([[0], ends[:-1]])
+    num_chunks = int(ends.size)
     lmax = int(np.max(ends - starts))
+    if step_bucket:
+        lmax = _round_up(lmax, step_bucket)
+    if chunk_bucket:
+        c_pad = _round_up(num_chunks, chunk_bucket)
+        # Fake chunks: start == end == 0 -> no valid steps -> identity.
+        starts = np.concatenate([starts, np.zeros(c_pad - num_chunks, np.int64)])
+        ends = np.concatenate([ends, np.zeros(c_pad - num_chunks, np.int64)])
 
     # Gather per-chunk padded steps: step j of chunk c is (idx-1, idx] with
     # idx = starts[c] + 1 + j, valid while idx <= ends[c].
@@ -81,7 +102,12 @@ def integrate_rotation_chunks(
     chain = jax.vmap(
         lambda q: jax.lax.associative_scan(quat_multiply, q, axis=0)
     )(dqs)
-    return chain[:, -1, :]  # [C, 4]
+    quats = chain[:, -1, :]  # [C, 4]
+    if not return_mask:
+        return quats
+    mask = np.zeros(quats.shape[0], bool)
+    mask[:num_chunks] = True
+    return quats, jnp.asarray(mask)
 
 
 def principal_rotation_axes(
@@ -89,6 +115,8 @@ def principal_rotation_axes(
     rot_rates: np.ndarray,
     interval_usec: int = 500_000,
     dtype=jnp.float64,
+    chunk_bucket: int | None = None,
+    step_bucket: int | None = None,
 ):
     """PCA eigenvectors (rows, descending eigenvalue) of chunk quat (x,y,z).
 
@@ -96,10 +124,25 @@ def principal_rotation_axes(
     is inherently arbitrary (cv::PCA makes no promise either); we fix the
     convention that each axis's largest-|magnitude| component is positive,
     so outputs are deterministic. Row 0 is the inferred vertical axis.
+
+    With ``chunk_bucket``/``step_bucket`` the mean/covariance become
+    mask-weighted so bucket padding is exactly neutral (fake chunks carry
+    weight 0), and the expensive quaternion scan compiles once per bucket
+    signature instead of once per ride length.
     """
-    quats = integrate_rotation_chunks(times_usec, rot_rates, interval_usec, dtype)
+    quats, mask = integrate_rotation_chunks(
+        times_usec,
+        rot_rates,
+        interval_usec,
+        dtype,
+        chunk_bucket=chunk_bucket,
+        step_bucket=step_bucket,
+        return_mask=True,
+    )
     xyz = quats[:, 1:4]
-    centered = xyz - jnp.mean(xyz, axis=0, keepdims=True)
+    w = mask.astype(xyz.dtype)[:, None]
+    mean = jnp.sum(xyz * w, axis=0, keepdims=True) / jnp.sum(w)
+    centered = (xyz - mean) * w
     cov = centered.T @ centered
     eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
     axes = eigvecs[:, ::-1].T  # rows, descending eigenvalue

@@ -40,6 +40,8 @@ def smooth_time_series(
     target_timestamps,
     sigma: float,
     dtype=jnp.float64,
+    sample_bucket: int | None = None,
+    target_bucket: int | None = None,
 ):
     """Gaussian smoothing of a (possibly vector-valued) time series.
 
@@ -48,6 +50,11 @@ def smooth_time_series(
       timestamps: [N] sorted sample times (same units as sigma).
       target_timestamps: [T] sorted query times.
       sigma: Gaussian width, in time units.
+      sample_bucket / target_bucket: optional shape-bucket granularities so
+        series of similar length reuse one compiled program (corpus path).
+        Padding is exactly neutral: band bounds come from the REAL arrays,
+        out-of-band gather positions carry weight exactly 0, and padded
+        target rows are sliced away.
 
     Returns [T] (or [T, D]) smoothed values, matching the reference
     SmoothTimeSeries semantics.
@@ -66,6 +73,27 @@ def smooth_time_series(
     squeeze = values_np.ndim == 1
     vals2d = values_np.reshape(values_np.shape[0], -1)
 
+    num_targets = targets_np.shape[0]
+    if sample_bucket or target_bucket:
+        band = -(-band // 4) * 4  # a band bucket of its own
+
+        def round_up(n, multiple):
+            return max(-(-n // multiple) * multiple, multiple)
+
+        if sample_bucket:
+            n_pad = round_up(ts_np.shape[0], sample_bucket) - ts_np.shape[0]
+            ts_np = np.concatenate([ts_np, np.zeros(n_pad)])
+            vals2d = np.concatenate(
+                [vals2d, np.zeros((n_pad, vals2d.shape[1]), vals2d.dtype)]
+            )
+        if target_bucket and num_targets:
+            t_pad = round_up(num_targets, target_bucket) - num_targets
+            targets_np = np.concatenate(
+                [targets_np, np.full(t_pad, targets_np[-1])]
+            )
+            left = np.concatenate([left, np.full(t_pad, left[-1])])
+            right = np.concatenate([right, np.full(t_pad, right[-1])])
+
     out = _smooth_banded(
         jnp.asarray(vals2d, dtype=dtype),
         jnp.asarray(ts_np, dtype=dtype),
@@ -75,6 +103,7 @@ def smooth_time_series(
         band,
         float(sigma),
     )
+    out = out[:num_targets]
     return out[:, 0] if squeeze else out
 
 

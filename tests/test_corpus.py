@@ -178,3 +178,36 @@ def test_find_ride_dirs_skips_non_rides(tmp_path):
     os.makedirs(tmp_path / "not-a-ride")
     (tmp_path / "stray.txt").write_text("x")
     assert find_ride_dirs(str(tmp_path)) == [str(tmp_path / "ride-0")]
+
+
+def test_rotation_axis_bucketing_is_exactly_neutral():
+    from pilotguru_tpu.calib.rotation_axis import principal_rotation_axes
+
+    ride = _rides()[0]
+    plain_axes, plain_eig = principal_rotation_axes(
+        ride.rot_times_usec, ride.rot_rates, 500_000
+    )
+    bucketed_axes, bucketed_eig = principal_rotation_axes(
+        ride.rot_times_usec,
+        ride.rot_rates,
+        500_000,
+        chunk_bucket=64,
+        step_bucket=32,
+    )
+    np.testing.assert_allclose(bucketed_axes, plain_axes, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(bucketed_eig, plain_eig, rtol=1e-12, atol=0)
+
+
+def test_smoothing_bucketing_is_exactly_neutral():
+    from pilotguru_tpu.timeseries.smoothing import smooth_time_series
+
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(0.004, 0.012, size=777))
+    v = rng.normal(size=777)
+    plain = np.asarray(smooth_time_series(v, t, t, 0.02))
+    bucketed = np.asarray(
+        smooth_time_series(
+            v, t, t, 0.02, sample_bucket=1024, target_bucket=1024
+        )
+    )
+    np.testing.assert_allclose(bucketed, plain, rtol=0, atol=1e-14)
