@@ -83,7 +83,17 @@ def main():
         )
         return result
 
-    run()  # compile warmup (XLA caches on identical shapes)
+    # Remote TPU backends occasionally throw transient INTERNAL errors on a
+    # fresh program; retry the warmup a couple of times before giving up so
+    # one blip doesn't void the measurement.
+    for attempt in range(3):
+        try:
+            run()  # compile warmup (XLA caches on identical shapes)
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(5.0)
     start = time.perf_counter()
     result = run()
     elapsed = time.perf_counter() - start

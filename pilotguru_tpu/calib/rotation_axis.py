@@ -96,18 +96,28 @@ def integrate_rotation_chunks(
     step_rates = np.where(valid[..., None], rates[idx_c], 0.0)
     step_dt = np.where(valid, (times[idx_c] - times[idx_c - 1]) * 1e-6, 0.0)
 
-    dqs = rotation_rate_to_quat(
+    quats = _chunk_quats(
         jnp.asarray(step_rates, dtype), jnp.asarray(step_dt, dtype)
-    )  # [C, L, 4] — padded steps give the identity quaternion.
-    chain = jax.vmap(
-        lambda q: jax.lax.associative_scan(quat_multiply, q, axis=0)
-    )(dqs)
-    quats = chain[:, -1, :]  # [C, 4]
+    )  # [C, 4]
     if not return_mask:
         return quats
     mask = np.zeros(quats.shape[0], bool)
     mask[:num_chunks] = True
     return quats, jnp.asarray(mask)
+
+
+@jax.jit
+def _chunk_quats(step_rates, step_dt):
+    """Ordered per-chunk quaternion products as one device program.
+
+    Padded steps give the identity quaternion, so only the final scan
+    element per chunk matters.
+    """
+    dqs = rotation_rate_to_quat(step_rates, step_dt)  # [C, L, 4]
+    chain = jax.vmap(
+        lambda q: jax.lax.associative_scan(quat_multiply, q, axis=0)
+    )(dqs)
+    return chain[:, -1, :]
 
 
 def principal_rotation_axes(
@@ -139,6 +149,11 @@ def principal_rotation_axes(
         step_bucket=step_bucket,
         return_mask=True,
     )
+    return _masked_pca(quats, mask)
+
+
+@jax.jit
+def _masked_pca(quats, mask):
     xyz = quats[:, 1:4]
     w = mask.astype(xyz.dtype)[:, None]
     mean = jnp.sum(xyz * w, axis=0, keepdims=True) / jnp.sum(w)
@@ -154,6 +169,7 @@ def principal_rotation_axes(
     return axes, eigvals[::-1]
 
 
+@jax.jit
 def angular_velocities_around_axis(rot_rates, axis):
     """Project raw gyro rates onto a (near-unit) axis.
 

@@ -18,6 +18,8 @@ runs as one fused array program of shape [T, B] with B = max band width.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,6 +109,7 @@ def smooth_time_series(
     return out[:, 0] if squeeze else out
 
 
+@partial(jax.jit, static_argnames=("band", "sigma"))
 def _smooth_banded(vals, ts, targets, left, right, band, sigma):
     n = ts.shape[0]
     j = jnp.arange(band)  # [B]
