@@ -305,3 +305,35 @@ def extract_orb_features(
         valid=jnp.concatenate(all_valid),
         descriptors=jnp.concatenate(all_desc),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "scale", "total_budget", "cell"),
+)
+def extract_orb_features_batch(
+    images,
+    num_levels: int = 8,
+    scale: float = 1.2,
+    threshold: float = 20.0 / 255.0,
+    total_budget: int = 2000,
+    cell: int = 16,
+) -> Keypoints:
+    """Batched extractor: [B, H, W] -> Keypoints with leading batch dim.
+
+    Tracking is sequential, but extraction is stateless per frame, so the
+    video pipeline prefetches features for whole frame batches in ONE device
+    program: fewer dispatch round-trips (decisive on remote-attached chips)
+    and better chip utilization than per-frame calls. Restarted segments
+    reuse already-extracted features for free.
+    """
+    return jax.vmap(
+        lambda g: extract_orb_features(
+            g,
+            num_levels=num_levels,
+            scale=scale,
+            threshold=threshold,
+            total_budget=total_budget,
+            cell=cell,
+        )
+    )(images)

@@ -32,6 +32,56 @@ class VideoFrame:
     gray: np.ndarray  # [H, W] float32 in [0, 1]
     frame_id: int
     time_usec: int
+    # Pre-extracted (kp_norm, desc, valid) from the batched prefetcher;
+    # None means the tracker extracts on its own.
+    features: Optional[tuple] = None
+
+
+def prefetch_features(
+    frames: Iterator[VideoFrame],
+    camera,
+    config,
+    batch_size: int = 8,
+) -> Iterator[VideoFrame]:
+    """Attach ORB features to frames, extracted in whole-batch device calls.
+
+    Extraction is stateless per frame while tracking is sequential, so
+    batching it amortizes dispatch latency and keeps the chip busy; one
+    host transfer moves the whole batch's keypoints back. Short tail
+    batches are padded by repetition (results sliced away).
+    """
+    import jax.numpy as jnp
+
+    from pilotguru_tpu.vo.features import extract_orb_features_batch
+
+    pending: list[VideoFrame] = []
+
+    def flush():
+        n = len(pending)
+        grays = [f.gray for f in pending]
+        while len(grays) < batch_size:  # pad tail batch, reuse compile
+            grays.append(grays[-1])
+        kps = extract_orb_features_batch(
+            jnp.asarray(np.stack(grays), jnp.float32),
+            num_levels=config.num_levels,
+            total_budget=config.total_budget,
+            threshold=config.fast_threshold,
+        )
+        xy = np.asarray(kps.xy)
+        desc = np.asarray(kps.descriptors)
+        valid = np.asarray(kps.valid)
+        for i in range(n):
+            f = pending[i]
+            f.features = (camera.normalize(xy[i]), desc[i], valid[i])
+            yield f
+        pending.clear()
+
+    for frame in frames:
+        pending.append(frame)
+        if len(pending) == batch_size:
+            yield from flush()
+    if pending:
+        yield from flush()
 
 
 def video_frames(
@@ -155,16 +205,23 @@ def track_video_segments(
     rotation_smooth_sigma: int = 0,
     image_scale: float = 1.0,
     make_tracker=None,
+    feature_batch_size: int = 8,
 ) -> Tuple[int, int]:
     """Segment loop (optical_trajectories.cc:91-111): fresh tracker per
     segment, restart after LOST, one JSON per valid segment.
 
-    Returns (segments_written, frames_consumed).
+    With the default tracker, features are prefetched in device batches of
+    ``feature_batch_size`` (pass 0 to disable). Returns (segments_written,
+    frames_consumed).
     """
     os.makedirs(out_dir, exist_ok=True)
-    make_tracker = make_tracker or (
-        lambda: tracker_from_settings(settings, image_scale)
-    )
+    if make_tracker is None:
+        make_tracker = lambda: tracker_from_settings(settings, image_scale)
+        if feature_batch_size > 0:
+            probe = make_tracker()
+            frames = prefetch_features(
+                frames, probe.camera, probe.config, feature_batch_size
+            )
     segment = 0
     consumed = 0
     exhausted = False
@@ -178,7 +235,14 @@ def track_video_segments(
                 break
             consumed += 1
             fed += 1
-            state = tracker.process_frame(frame.gray, frame.frame_id, frame.time_usec)
+            if frame.features is not None:
+                state = tracker.process_features(
+                    *frame.features, frame.frame_id, frame.time_usec
+                )
+            else:
+                state = tracker.process_frame(
+                    frame.gray, frame.frame_id, frame.time_usec
+                )
             if state == LOST:
                 break
         trajectory = trajectory_from_tracker(tracker)
@@ -190,6 +254,14 @@ def track_video_segments(
                     os.path.join(out_dir, f"trajectory-{segment:04d}.json"),
                 )
                 segment += 1
+            else:
+                # Same silent-drop as the reference's lambda3 test, but say
+                # so: "0 segments" on a well-tracked video reads like a
+                # tracking failure otherwise.
+                print(
+                    f"segment with {len(trajectory)} tracked frames rejected "
+                    "by the trajectory-plane flatness test (not planar)"
+                )
         if fed == 0:
             break
     return segment, consumed

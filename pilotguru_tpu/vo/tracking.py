@@ -183,6 +183,12 @@ class MonocularTracker:
     # ------------------------------------------------------------ lifecycle
     def process_frame(self, gray, frame_id: int, time_usec: int) -> str:
         kp_norm, desc, valid = self._feature_fn(gray)
+        return self.process_features(kp_norm, desc, valid, frame_id, time_usec)
+
+    def process_features(
+        self, kp_norm, desc, valid, frame_id: int, time_usec: int
+    ) -> str:
+        """Feed one frame's PRE-EXTRACTED features (batched-prefetch path)."""
         if self.state == NOT_INITIALIZED:
             self._try_initialize(kp_norm, desc, valid, frame_id, time_usec)
         elif self.state == OK:

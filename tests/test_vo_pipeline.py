@@ -193,3 +193,35 @@ class TestTrajectoryClis:
         normal = np.cross(plane[0], plane[1])
         normal /= np.linalg.norm(normal)
         np.testing.assert_allclose(after.translations @ normal, 0.0, atol=1e-9)
+
+
+class TestPrefetchFeatures:
+    def test_matches_per_frame_extraction(self):
+        """Batched prefetch must give the tracker exactly what its own
+        per-frame extractor would."""
+        import jax.numpy as jnp
+
+        from pilotguru_tpu.vo.pipeline import VideoFrame, prefetch_features
+        from pilotguru_tpu.vo.tracking import CameraModel, MonocularTracker, TrackerConfig
+
+        rng = np.random.default_rng(3)
+        config = TrackerConfig(total_budget=128, num_levels=2)
+        camera = CameraModel(fx=100.0, fy=100.0, cx=32.0, cy=24.0)
+        tracker = MonocularTracker(camera, config)
+
+        frames = []
+        for i in range(5):  # 5 frames, batch 2 -> one padded tail batch
+            img = rng.uniform(size=(48, 64)).astype(np.float32)
+            img[10 + i : 20 + i, 20 : 30] = 1.0  # a moving bright block
+            frames.append(VideoFrame(img, i, i * 33_000))
+
+        fetched = list(
+            prefetch_features(iter(frames), camera, config, batch_size=2)
+        )
+        assert [f.frame_id for f in fetched] == [0, 1, 2, 3, 4]
+        for f in fetched:
+            kp, desc, valid = tracker._extract(f.gray)
+            pkp, pdesc, pvalid = f.features
+            np.testing.assert_array_equal(pvalid, valid)
+            np.testing.assert_allclose(pkp, kp, rtol=0, atol=1e-6)
+            np.testing.assert_array_equal(pdesc, desc)
