@@ -196,3 +196,58 @@ def write_ride_jsons(ride: Ride, out_dir: str):
         os.path.join(out_dir, "frames.json"),
     )
     return out_dir
+
+
+def render_parallax_video(
+    path: str,
+    width: int = 320,
+    height: int = 240,
+    frames: int = 120,
+    num_points: int = 400,
+    fx: float = 250.0,
+    seed: int = 7,
+):
+    """Render a curving drive through random textured billboards.
+
+    Returns (fx, fy, cx, cy, true_yaw_rate_per_frame). The camera follows a
+    planar curving path (so the PCA flatness test accepts the trajectory),
+    with yaw following the path direction.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    cx, cy = width / 2.0, height / 2.0
+    pts = np.stack(
+        [rng.uniform(-8, 8, num_points), rng.uniform(-4, 4, num_points),
+         rng.uniform(4, 16, num_points)],
+        axis=1,
+    )
+    shade = rng.integers(90, 255, num_points)
+    period = 1.25 * frames
+    yaw_of = lambda t: 0.25 * np.cos(2 * np.pi * t / period)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (width, height)
+    )
+    for t in range(frames):
+        cam_t = np.array([0.9 * np.sin(2 * np.pi * t / period), 0.0, 0.015 * t])
+        yaw = yaw_of(t)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+        local = (pts - cam_t) @ rot.T
+        img = np.full((height, width), 25, np.uint8)
+        for i in np.argsort(-local[:, 2]):
+            x, y, z = local[i]
+            if z < 0.5:
+                continue
+            u, v = fx * x / z + cx, fx * y / z + cy
+            r = max(int(round(7.0 / z)), 1)
+            if -r <= u < width + r and -r <= v < height + r:
+                cv2.rectangle(
+                    img, (int(u) - r, int(v) - r), (int(u) + r, int(v) + r),
+                    int(shade[i]), -1,
+                )
+        writer.write(cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
+    writer.release()
+    ts = np.arange(frames)
+    rates = np.gradient(yaw_of(ts)) * 30.0  # rad/s at 30 fps
+    return fx, fx, cx, cy, rates

@@ -482,3 +482,76 @@ class TestCalibrateCli:
         settings = read_camera_settings(out)
         assert abs(settings.fx - fx) / fx < 0.1
         assert abs(settings.fy - fy) / fy < 0.1
+
+
+class TestHyperparamsSearch:
+    def test_grid_over_settings_files(self, tmp_path):
+        """Each settings JSON trains its own fold into out_dir/<settings_id>
+        (reference python/hyperparams_search.py semantics, sequential on one
+        chip)."""
+        import json
+
+        from pilotguru_tpu.cli import hyperparams_search
+
+        rng = np.random.default_rng(1)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for i in range(48):
+            img = rng.integers(0, 255, size=(3, 36, 80), dtype=np.uint8)
+            steering = np.float32(
+                [img[:, :, :40].mean() - img[:, :, 40:].mean()]
+            ) / 8.0
+            np.savez(
+                data_dir / f"frame-{i:06d}-data.npz",
+                frame_img=img,
+                steering=steering.astype(np.float32),
+                forward_axis=np.array([1.0, 0.0, 0.0], np.float32),
+            )
+
+        base = {
+            "input_names": ["frame_img", "forward_axis"],
+            "label_names": ["steering"],
+            "net_name": "toy",
+            "target_height": 36,
+            "target_width": 72,
+            "batch_size": 16,
+            "linear_bias_options": [
+                {"input_name": "forward_axis", "input_dims": 3}
+            ],
+        }
+        for sid, lr in (("fold-a", 3e-3), ("fold-b", 1e-3)):
+            cfg = dict(base, settings_id=sid, learning_rate=lr)
+            (tmp_path / f"settings-{sid}.json").write_text(json.dumps(cfg))
+
+        rc = hyperparams_search.main(
+            [
+                f"--data_dirs={data_dir}",
+                f"--validation_data_dirs={data_dir}",
+                f"--train_settings_json_glob={tmp_path}/settings-*.json",
+                "--epochs=2",
+                f"--out_dir={tmp_path}/out",
+                f"--log_dir={tmp_path}/log",
+            ]
+        )
+        assert rc == 0
+        for sid in ("fold-a", "fold-b"):
+            assert (tmp_path / "out" / sid / "model-0-best.msgpack").is_file()
+            log = (tmp_path / "log" / sid / "train_log.jsonl").read_text()
+            assert len(log.strip().splitlines()) >= 2  # one line per epoch
+
+    def test_no_matching_settings_files_errors(self, tmp_path):
+        import pytest as _pytest
+
+        from pilotguru_tpu.cli import hyperparams_search
+
+        with _pytest.raises(SystemExit):
+            hyperparams_search.main(
+                [
+                    f"--data_dirs={tmp_path}",
+                    f"--validation_data_dirs={tmp_path}",
+                    f"--train_settings_json_glob={tmp_path}/none-*.json",
+                    "--epochs=1",
+                    f"--out_dir={tmp_path}/out",
+                    f"--log_dir={tmp_path}/log",
+                ]
+            )

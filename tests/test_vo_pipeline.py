@@ -225,3 +225,51 @@ class TestPrefetchFeatures:
             np.testing.assert_array_equal(pvalid, valid)
             np.testing.assert_allclose(pkp, kp, rtol=0, atol=1e-6)
             np.testing.assert_array_equal(pdesc, desc)
+
+
+class TestOpticalTrajectoriesCli:
+    def test_end_to_end_on_rendered_video(self, tmp_path):
+        """Full CLI on a rendered parallax drive: one accepted segment whose
+        angular velocities track the rendered yaw rate."""
+        import cv2
+
+        from pilotguru_tpu.cli import optical_trajectories
+        from pilotguru_tpu.formats import json_io
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "video.mp4")
+        fx, fy, cx, cy, true_rates = render_parallax_video(video)
+
+        yaml_path = str(tmp_path / "camera.yaml")
+        fs = cv2.FileStorage(yaml_path, cv2.FILE_STORAGE_WRITE)
+        for key, value in [
+            ("Camera_fx", fx), ("Camera_fy", fy), ("Camera_cx", cx),
+            ("Camera_cy", cy), ("Camera_k1", 0.0), ("Camera_k2", 0.0),
+            ("Camera_p1", 0.0), ("Camera_p2", 0.0), ("Camera_fps", 30.0),
+            ("ORBextractor_nFeatures", 600), ("ORBextractor_scaleFactor", 1.2),
+            ("ORBextractor_nLevels", 3), ("ORBextractor_iniThFAST", 20),
+            ("ORBextractor_minThFAST", 7),
+        ]:
+            fs.write(key, value)
+        fs.release()
+
+        out_dir = tmp_path / "out"
+        rc = optical_trajectories.main(
+            [
+                "--vocabulary_file=",
+                f"--camera_settings={yaml_path}",
+                f"--in_video={video}",
+                f"--out_dir={out_dir}",
+            ]
+        )
+        assert rc == 0
+        files = sorted(out_dir.glob("trajectory-*.json"))
+        assert files, "no trajectory segments written"
+        root = json_io.read_json(str(files[0]))
+        points = root["trajectory"]
+        assert len(points) > 40
+        assert "plane" in root
+        rates = np.array([p.get("angular_velocity", 0.0) for p in points])
+        frame_ids = np.array([p["frame_id"] for p in points])
+        corr = np.corrcoef(rates[3:], true_rates[frame_ids][3:])[0, 1]
+        assert abs(corr) > 0.8, f"turn-rate correlation too weak: {corr}"
