@@ -103,7 +103,11 @@ def match_projected(
     ``search_radius`` pixels (ORBmatcher::SearchByProjection semantics, as a
     masked dense table instead of per-cell candidate lists)."""
     dist = hamming_table(desc_a, desc_b, valid_a, valid_b)
-    d2 = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    # d^2 via the ||a||^2 + ||b||^2 - 2ab expansion: one extra MXU matmul
+    # instead of materializing a rank-3 [Na, Nb, 2] difference tensor.
+    a2 = jnp.sum(xy_a * xy_a, axis=-1)
+    b2 = jnp.sum(xy_b * xy_b, axis=-1)
+    d2 = a2[:, None] + b2[None, :] - 2.0 * (xy_a @ xy_b.T)
     dist = jnp.where(d2 <= search_radius**2, dist, DESCRIPTOR_BITS + 1)
     best_idx = jnp.argmin(dist, axis=1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
