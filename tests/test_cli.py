@@ -7,6 +7,9 @@ import oracle
 import synthetic
 from pilotguru_tpu.formats import json_io, keys
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ride_dir(tmp_path_factory):

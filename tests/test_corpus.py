@@ -19,6 +19,9 @@ from pilotguru_tpu.calib import (
 )
 from tests.synthetic import make_ride, write_ride_jsons
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 CONFIG = FitMotionConfig(
     locations_batch_size=10,
     locations_shift_step=5,

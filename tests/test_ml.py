@@ -9,6 +9,9 @@ from pilotguru_tpu.ml import augmentation as aug
 from pilotguru_tpu.ml import data as data_lib
 from pilotguru_tpu.ml import models, training, weighting
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 def conv_out(size, kernel, stride):
     return (size - kernel) // stride + 1

@@ -6,6 +6,10 @@ from pilotguru_tpu.vo.pose import project, transform
 from pilotguru_tpu.vo.relocalize import dlt_pose, relocalize
 from pilotguru_tpu.vo.tracking import CameraModel, MonocularTracker, TrackerConfig
 from test_vo_tracking import SyntheticScene
+import pytest
+
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
 
 
 class TestDltPose:

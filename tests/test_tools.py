@@ -10,6 +10,9 @@ import pytest
 from pilotguru_tpu.formats import can as can_lib
 from pilotguru_tpu.formats import json_io
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 class TestCanParsing:
     def test_parse_frame_round_trip(self):

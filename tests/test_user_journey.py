@@ -22,6 +22,10 @@ import numpy as np
 
 from pilotguru_tpu.formats import json_io
 from tests.synthetic import make_ride, write_ride_jsons
+import pytest
+
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
 
 HEIGHT, WIDTH = 64, 96
 TARGET_HEIGHT, TARGET_WIDTH = 48, 64  # toy net needs >=48px after 3 pools

@@ -21,6 +21,9 @@ from pilotguru_tpu.vo.pipeline import (
 from pilotguru_tpu.vo.tracking import CameraModel, MonocularTracker, TrackerConfig
 from test_vo_tracking import SyntheticScene
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 def _make_trajectory(n=40, seed=0):
     rng = np.random.default_rng(seed)

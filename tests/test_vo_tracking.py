@@ -20,6 +20,9 @@ from pilotguru_tpu.vo.tracking import (
     TrackerConfig,
 )
 
+# Heavy e2e tier: excluded from the quick loop via `pytest -m "not slow"`.
+pytestmark = pytest.mark.slow
+
 
 class SyntheticScene:
     def __init__(self, seed=0, num_points=600, budget=256):
