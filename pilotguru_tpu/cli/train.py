@@ -14,6 +14,7 @@ including the JSON-encoded nested settings flags (--net_options,
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -180,7 +181,9 @@ def main(argv=None):
         weighters=weighters,
         settings=settings,
         out_dir=args.out_dir,
-        log_path=(f"{args.log_dir}/train_log.jsonl" if args.log_dir else None),
+        # Scalars always persist: --log_dir if given, else next to the
+        # checkpoints, so every run leaves a plottable train_log.jsonl.
+        log_path=os.path.join(args.log_dir or args.out_dir, "train_log.jsonl"),
     )
     return 0
 

@@ -218,11 +218,20 @@ def load_ensemble_params(paths: List[str]) -> Dict[str, Any]:
 
 @dataclass
 class TrainLogEvent:
+    """Per-epoch scalars, streamed to ``log_path`` as JSONL — the durable
+    equivalent of the reference's tensorboard_logger train/val curves
+    (optimize.py:88-89, 201-203) plus its console line fields."""
+
     epoch: int
     train_loss: float
     val_loss: float
     epoch_duration_sec: float
     examples_per_sec: float
+    # Per-net curves (reference logs one tensorboard scalar pair per
+    # learner: train_loss/{i}, val_loss/{i}).
+    train_loss_per_net: Optional[List[float]] = None
+    val_loss_per_net: Optional[List[float]] = None
+    improvement_marker: str = ""
 
 
 def train_models(
@@ -238,9 +247,18 @@ def train_models(
     out_dir: str,
     print_log: bool = True,
     log_path: Optional[str] = None,
+    net_out_specs: Optional[List[tuple]] = None,
 ) -> List[TrainLogEvent]:
-    """Full training loop mirroring TrainModels (optimize.py:77-212)."""
+    """Full training loop mirroring TrainModels (optimize.py:77-212).
+
+    ``net_out_specs``: optional per-net (directory, local_index) checkpoint
+    routing — used by the grouped hyperparameter search, where one vmapped
+    super-ensemble trains several grid folds at once and each fold's nets
+    must land in that fold's output directory under fold-local names.
+    """
     num_nets = len(weighters)
+    if net_out_specs is None:
+        net_out_specs = [(out_dir, n) for n in range(num_nets)]
     train_step = make_train_step(model, tx, settings)
     eval_step = make_eval_step(model, settings)
     host_rng = np.random.default_rng(settings.seed)
@@ -266,6 +284,8 @@ def train_models(
     min_val_loss = np.inf
     lr_scale = np.ones((num_nets,), np.float32)
     plateau_counters = np.zeros((num_nets,), np.int64)
+    if log_path:
+        os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     log_file = open(log_path, "a") if log_path else None
 
     for epoch in range(settings.epochs):
@@ -322,7 +342,11 @@ def train_models(
             if val_avg[n] < min_val_losses[n]:
                 min_val_losses[n] = val_avg[n]
                 plateau_counters[n] = 0
-                save_net(state, n, data_lib.model_file_name(out_dir, n, data_lib.BEST))
+                spec_dir, spec_idx = net_out_specs[n]
+                save_net(
+                    state, n,
+                    data_lib.model_file_name(spec_dir, spec_idx, data_lib.BEST),
+                )
             elif settings.plateau_patience_epochs > 0:
                 plateau_counters[n] += 1
                 if plateau_counters[n] > settings.plateau_patience_epochs:
@@ -331,7 +355,12 @@ def train_models(
         state = state._replace(lr_scale=jnp.asarray(lr_scale))
 
         event = TrainLogEvent(
-            epoch, avg_loss, val_avg_all, epoch_duration, examples_per_sec
+            epoch, avg_loss, val_avg_all, epoch_duration, examples_per_sec,
+            train_loss_per_net=list(
+                np.round(running / np.maximum(seen, 1), 8)
+            ),
+            val_loss_per_net=list(np.round(val_avg, 8)),
+            improvement_marker=marker.strip(),
         )
         log.append(event)
         if print_log:
@@ -345,7 +374,10 @@ def train_models(
             log_file.flush()
 
     for n in range(num_nets):
-        save_net(state, n, data_lib.model_file_name(out_dir, n, data_lib.LAST))
+        spec_dir, spec_idx = net_out_specs[n]
+        save_net(
+            state, n, data_lib.model_file_name(spec_dir, spec_idx, data_lib.LAST)
+        )
     if log_file:
         log_file.close()
     return log

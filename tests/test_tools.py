@@ -542,6 +542,85 @@ class TestHyperparamsSearch:
             log = (tmp_path / "log" / sid / "train_log.jsonl").read_text()
             assert len(log.strip().splitlines()) >= 2  # one line per epoch
 
+    def test_compatible_folds_group_into_one_sharded_program(self, tmp_path):
+        """Folds sweeping only the learning rate share one compiled vmapped
+        super-ensemble sharded over the device mesh — the TPU-native
+        replacement for the reference's least-loaded-GPU process pool
+        (python/hyperparams_search.py:30-44, 118-153). 8 folds on 8 virtual
+        devices = one net per device, one train step per batch total."""
+        import json
+
+        from pilotguru_tpu.cli import hyperparams_search
+
+        lrs = [3e-3, 2.5e-3, 2e-3, 1.5e-3, 1e-3, 8e-4, 5e-4, 3e-4]
+        settings_list = [
+            {
+                "settings_id": f"lr-{i}",
+                "input_names": ["frame_img", "forward_axis"],
+                "label_names": ["steering"],
+                "net_name": "toy",
+                "target_height": 36,
+                "target_width": 72,
+                "batch_size": 16,
+                "learning_rate": lr,
+                "linear_bias_options": [
+                    {"input_name": "forward_axis", "input_dims": 3}
+                ],
+            }
+            for i, lr in enumerate(lrs)
+        ]
+        groups = hyperparams_search.group_folds(settings_list)
+        assert len(groups) == 1 and len(groups[0]) == 8
+
+        # Different architecture breaks the group (different program).
+        other = dict(settings_list[0], settings_id="other", net_name="nvidia",
+                     target_height=66, target_width=210)
+        groups = hyperparams_search.group_folds(settings_list + [other])
+        assert len(groups) == 2
+
+        rng = np.random.default_rng(2)
+        data_dir = tmp_path / "data"
+        data_dir.mkdir()
+        for i in range(32):
+            img = rng.integers(0, 255, size=(3, 36, 80), dtype=np.uint8)
+            steering = np.float32(
+                [img[:, :, :40].mean() - img[:, :, 40:].mean()]
+            ) / 8.0
+            np.savez(
+                data_dir / f"frame-{i:06d}-data.npz",
+                frame_img=img,
+                steering=steering.astype(np.float32),
+                forward_axis=np.array([1.0, 0.0, 0.0], np.float32),
+            )
+        for s in settings_list:
+            (tmp_path / f"settings-{s['settings_id']}.json").write_text(
+                json.dumps(s)
+            )
+        rc = hyperparams_search.main(
+            [
+                f"--data_dirs={data_dir}",
+                f"--validation_data_dirs={data_dir}",
+                f"--train_settings_json_glob={tmp_path}/settings-lr-*.json",
+                "--epochs=2",
+                f"--out_dir={tmp_path}/out",
+                f"--log_dir={tmp_path}/log",
+            ]
+        )
+        assert rc == 0
+        for s in settings_list:
+            sid = s["settings_id"]
+            assert (tmp_path / "out" / sid / "model-0-best.msgpack").is_file()
+            assert (tmp_path / "out" / sid / "model-0-last.msgpack").is_file()
+            lines = (
+                (tmp_path / "log" / sid / "train_log.jsonl")
+                .read_text()
+                .strip()
+                .splitlines()
+            )
+            assert len(lines) == 2
+            event = json.loads(lines[-1])
+            assert len(event["val_loss_per_net"]) == 1
+
     def test_no_matching_settings_files_errors(self, tmp_path):
         import pytest as _pytest
 
