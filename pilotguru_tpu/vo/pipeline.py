@@ -157,16 +157,21 @@ def tracker_from_settings(
         cx=settings.cx * image_scale,
         cy=settings.cy * image_scale,
     )
+    # Reference scale by default: 2000 features / 8 pyramid levels
+    # (calibrate.cc:518-531); the camera YAML is the source of truth.
     config = TrackerConfig(
-        total_budget=min(settings.orb_features, 1024),
-        num_levels=min(settings.orb_levels, 4),
+        total_budget=settings.orb_features,
+        num_levels=settings.orb_levels,
         fast_threshold=settings.orb_ini_th_fast / 255.0,
     )
     return MonocularTracker(camera, config)
 
 
 def trajectory_from_tracker(tracker: MonocularTracker) -> Optional[Trajectory]:
-    frames = [fp for fp in tracker.trajectory if not fp.is_lost]
+    # Reconstruct absolute poses from the CURRENT keyframe poses so local-BA
+    # and loop-closure corrections reach every frame (System::GetTrajectory
+    # semantics, System.cc:371-413).
+    frames = [fp for fp in tracker.final_trajectory() if not fp.is_lost]
     if len(frames) < 10:
         return None
     return Trajectory(
@@ -245,6 +250,7 @@ def track_video_segments(
                 )
             if state == LOST:
                 break
+        tracker.finalize()  # terminal loop-closure pass (max revisit overlap)
         trajectory = trajectory_from_tracker(tracker)
         if trajectory is not None:
             processed = postprocess_segment(trajectory, rotation_smooth_sigma)

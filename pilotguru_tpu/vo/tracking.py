@@ -1,17 +1,32 @@
 """Monocular visual-odometry tracker: host state machine + device compute.
 
-Replaces the reference's ORB_SLAM2 Tracking/LocalMapping pipeline
-(thirdparty/orb-slam2/src/Tracking.cc:272-498, LocalMapping.cc) for the
-odometry use-case that optical_trajectories consumes: per-frame camera poses
-until tracking is LOST (loop closing is intentionally omitted — the outputs
-are used as *local* angular velocities, where drift is immaterial; see
-SURVEY.md section 7 step 5).
+Replaces the reference's ORB_SLAM2 Tracking/LocalMapping/LoopClosing
+pipeline (thirdparty/orb-slam2/src/Tracking.cc:272-498, LocalMapping.cc,
+LoopClosing.cc) for the odometry use-case that optical_trajectories
+consumes: per-frame camera poses until tracking is LOST.
 
 TPU-first structure: all per-frame numerics (feature extraction, dense
-Hamming matching, RANSAC initialization, robust pose refinement, local BA)
-are fixed-shape jitted device programs; the host keeps only the map
-bookkeeping (fixed-capacity arrays) and the keyframe policy, mirroring how
-the reference splits Tracking math from map maintenance threads.
+Hamming matching, RANSAC initialization, robust pose refinement, local BA,
+loop detection scoring, Sim3 fitting, pose-graph optimization) are
+fixed-shape jitted device programs; the host keeps only the map bookkeeping
+(fixed-capacity arrays) and the keyframe policy, mirroring how the
+reference splits Tracking math from the map-maintenance threads.
+
+Map maintenance mirrors LocalMapping (LocalMapping.cc):
+  - recent map points are culled when their found-ratio drops below 0.25 or
+    they fail to gather >2 keyframe observations (MapPointCulling, :170-206)
+  - duplicate points are fused into the new keyframe (SearchInNeighbors,
+    :454-525)
+  - keyframes whose points are >=90% redundantly observed are dropped
+    (KeyFrameCulling, :631-695)
+  - when the fixed point arena fills, the worst off-window points are
+    recycled (reported, never silent).
+
+Per-frame poses are stored RELATIVE to their reference keyframe and the
+absolute trajectory is reconstructed at the end from the current keyframe
+poses (final_trajectory), matching System::GetTrajectory's
+keyframe-relative reconstruction (System.cc:371-413) — so local-BA and
+loop-closure keyframe corrections propagate to every frame.
 
 States mirror the reference enum: NOT_INITIALIZED -> OK -> LOST
 (Tracking.h eTrackingState).
@@ -20,7 +35,7 @@ States mirror the reference enum: NOT_INITIALIZED -> OK -> LOST
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -90,8 +105,10 @@ class CameraModel:
 
 @dataclass(frozen=True)
 class TrackerConfig:
-    total_budget: int = 1000
-    num_levels: int = 4
+    # Reference feature budget: 2000 features over 8 pyramid levels
+    # (/root/reference/src/calibrate.cc:518-531).
+    total_budget: int = 2000
+    num_levels: int = 8
     fast_threshold: float = 20.0 / 255.0
     max_map_points: int = 4096
     local_window: int = 6  # keyframes in local BA
@@ -103,14 +120,38 @@ class TrackerConfig:
     match_search_radius: float = 0.08  # normalized-plane units
     min_parallax_cos: float = 0.9999
     ba_every_keyframe: bool = True
+    # --- map maintenance (LocalMapping parity) ---
+    cull_found_ratio: float = 0.25  # MapPointCulling GetFoundRatio threshold
+    cull_min_observations: int = 2  # monocular cnThObs (LocalMapping.cc:177)
+    fuse_search_radius: float = 0.02  # duplicate-fusion projection window
+    keyframe_cull_redundancy: float = 0.9  # KeyFrameCulling 90% rule
+    keyframe_cull_min_obs: int = 3  # "seen in at least other 3 keyframes"
+    # --- loop closing ---
+    enable_loop_closing: bool = True
+    loop_exclude_recent: int = 10  # don't match against this many recent KFs
+    loop_min_match_count: int = 50  # descriptor votes to become a candidate
+    loop_min_inliers: int = 20  # Sim3-RANSAC inliers to accept the loop
+    loop_cooldown_keyframes: int = 10  # min KFs between accepted closures
+    # Post-closure bundle adjustment scope: "global" re-optimizes the whole
+    # map against the fused seam (RunGlobalBundleAdjustment parity — the
+    # accuracy winner, one big dense solve that the MXU eats but a 1-core
+    # CPU compile does not), "seam" optimizes the candidate + current
+    # neighborhoods only (cheap, most of the benefit lands at the seam),
+    # "none" relies on the pose graph alone.
+    loop_ba: str = "global"
 
 
 @dataclass
 class FramePose:
     frame_id: int
     time_usec: int
-    pose6: np.ndarray  # world->camera [rotvec, t]
+    pose6: np.ndarray  # world->camera [rotvec, t] at track time
     is_lost: bool = False
+    # Reference-keyframe anchoring (System::GetTrajectory semantics): the
+    # final pose is rel6 composed onto the CURRENT pose of keyframe
+    # ref_kf_id, so keyframe corrections (BA, loop closure) propagate.
+    ref_kf_id: int = -1
+    rel6: Optional[np.ndarray] = None
 
     def camera_to_world_quat(self) -> np.ndarray:
         r_wc = np.asarray(rotvec_to_matrix(jnp.asarray(self.pose6[:3]))).T
@@ -129,6 +170,7 @@ class Keyframe:
     kp_valid: np.ndarray  # [K] bool
     map_point: np.ndarray  # [K] int32 — map point index per keypoint or -1
     num_inliers: int = 0
+    kf_id: int = -1  # stable id (survives keyframe culling)
 
 
 class MonocularTracker:
@@ -149,6 +191,11 @@ class MonocularTracker:
         self.points = np.zeros((m, 3), np.float64)
         self.point_desc = np.zeros((m, 256), np.uint8)
         self.point_valid = np.zeros((m,), bool)
+        # Per-point statistics for LocalMapping-style maintenance.
+        self.point_visible = np.zeros((m,), np.int32)  # frustum appearances
+        self.point_found = np.zeros((m,), np.int32)  # tracked-inlier hits
+        self.point_first_kf = np.full((m,), -1, np.int32)  # creating kf_id
+        self.point_recent = np.zeros((m,), bool)  # in the recent-cull list
         self.keyframes: List[Keyframe] = []
         self.trajectory: List[FramePose] = []
         self._init_frame = None  # (kp_norm, desc, valid, frame_id, time)
@@ -157,6 +204,24 @@ class MonocularTracker:
         self._motion = np.zeros(6)  # se3-ish delta applied per frame
         self._frames_since_keyframe = 0
         self._rng = jax.random.PRNGKey(0)
+        self._next_kf_id = 0
+        self._last_loop_kf_id = -(10**9)  # kf_id of the last accepted loop
+        self._last_loop_cand_kf_id = -1  # loop candidate's stable kf_id
+        # Local-map mask: points observed by the recent keyframe window.
+        # Per-frame tracking matches ONLY these (Tracking::TrackLocalMap
+        # semantics) — matching the whole map would act as continuous
+        # implicit relocalization, masking drift and starving loop closure
+        # of its signal. Relocalization still searches the full map.
+        self._local_points = np.zeros((m,), bool)
+        # Maintenance observability (never silently degrade the map).
+        self.stats: Dict[str, int] = {
+            "points_culled": 0,
+            "points_fused": 0,
+            "points_recycled": 0,
+            "points_dropped": 0,
+            "keyframes_culled": 0,
+            "loop_closures": 0,
+        }
 
     # ---------------------------------------------------------------- utils
     def _extract(self, gray):
@@ -176,9 +241,74 @@ class MonocularTracker:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _point_observations(self) -> np.ndarray:
+        """Number of keyframes observing each map point ([max_map_points])."""
+        obs = np.zeros(self.config.max_map_points, np.int64)
+        for kf in self.keyframes:
+            refs = kf.map_point[kf.map_point >= 0]
+            np.add.at(obs, refs, 1)
+        return obs
+
+    def _cull_points(self, pids: np.ndarray):
+        """Remove map points: free slots + drop keyframe references."""
+        if pids.size == 0:
+            return
+        self.point_valid[pids] = False
+        self.point_recent[pids] = False
+        self.point_visible[pids] = 0
+        self.point_found[pids] = 0
+        self.point_first_kf[pids] = -1
+        dead = np.zeros(self.config.max_map_points, bool)
+        dead[pids] = True
+        for kf in self.keyframes:
+            refs = kf.map_point >= 0
+            kill = np.zeros_like(refs)
+            kill[refs] = dead[kf.map_point[refs]]
+            kf.map_point[kill] = -1
+        self.stats["points_culled"] += int(pids.size)
+
     def _free_slots(self, count):
+        """Indices of ``count`` free map slots, recycling the worst points
+        under arena pressure (the round-1 version silently truncated here).
+        """
         free = np.nonzero(~self.point_valid)[0]
+        if free.size >= count:
+            return free[:count]
+        # Recycle: evict lowest-found-ratio points that are NOT referenced by
+        # the recent keyframe window (evicting live local points would break
+        # tracking; old low-quality points are the right victims).
+        needed = count - free.size
+        in_window = np.zeros(self.config.max_map_points, bool)
+        for kf in self.keyframes[-self.config.local_window:]:
+            refs = kf.map_point[kf.map_point >= 0]
+            in_window[refs] = True
+        candidates = np.nonzero(self.point_valid & ~in_window)[0]
+        if candidates.size:
+            ratio = self.point_found[candidates] / np.maximum(
+                self.point_visible[candidates], 1
+            )
+            victims = candidates[np.argsort(ratio, kind="stable")[:needed]]
+            self._cull_points(victims)
+            self.stats["points_recycled"] += int(victims.size)
+            self.stats["points_culled"] -= int(victims.size)  # counted above
+            free = np.nonzero(~self.point_valid)[0]
+        if free.size < count:
+            self.stats["points_dropped"] += int(count - free.size)
         return free[:count]
+
+    def _kf_index_by_id(self) -> Dict[int, int]:
+        return {kf.kf_id: i for i, kf in enumerate(self.keyframes)}
+
+    def _refresh_local_points(self):
+        """Local map = points observed by the recent keyframe window
+        (covisibility-lite: the reference's UpdateLocalMap gathers keyframes
+        sharing points with the current frame; with a bounded window the
+        recent keyframes are exactly those)."""
+        local = np.zeros(self.config.max_map_points, bool)
+        for kf in self.keyframes[-self.config.local_window:]:
+            refs = kf.map_point[kf.map_point >= 0]
+            local[refs] = True
+        self._local_points = local & self.point_valid
 
     # ------------------------------------------------------------ lifecycle
     def process_frame(self, gray, frame_id: int, time_usec: int) -> str:
@@ -194,6 +324,39 @@ class MonocularTracker:
         elif self.state == OK:
             self._track(kp_norm, desc, valid, frame_id, time_usec)
         return self.state
+
+    def _append_frame(self, frame_id, time_usec, pose6, is_lost=False):
+        kf = self.keyframes[-1] if self.keyframes else None
+        rel = self._pose_delta(kf.pose6, pose6) if kf is not None else None
+        self.trajectory.append(
+            FramePose(
+                frame_id,
+                time_usec,
+                np.asarray(pose6).copy(),
+                is_lost=is_lost,
+                ref_kf_id=kf.kf_id if kf is not None else -1,
+                rel6=rel,
+            )
+        )
+
+    def final_trajectory(self) -> List[FramePose]:
+        """Absolute per-frame poses reconstructed from the CURRENT keyframe
+        poses (BA/loop corrections included) — System::GetTrajectory
+        semantics (System.cc:371-413)."""
+        by_id = {kf.kf_id: kf for kf in self.keyframes}
+        out = []
+        for fp in self.trajectory:
+            kf = by_id.get(fp.ref_kf_id)
+            if kf is None or fp.rel6 is None:
+                pose = fp.pose6
+            else:
+                pose = self._compose(fp.rel6, kf.pose6)
+            out.append(
+                FramePose(fp.frame_id, fp.time_usec, np.asarray(pose),
+                          is_lost=fp.is_lost, ref_kf_id=fp.ref_kf_id,
+                          rel6=fp.rel6)
+            )
+        return out
 
     # ------------------------------------------------------- initialization
     def _try_initialize(self, kp_norm, desc, valid, frame_id, time_usec):
@@ -244,6 +407,13 @@ class MonocularTracker:
         self.points[slots] = pts[src_rows]
         self.point_desc[slots] = desc[np.clip(idx[src_rows], 0, None)]
         self.point_valid[slots] = True
+        self.point_visible[slots] = 2
+        self.point_found[slots] = 2
+        # Created "at" the second init keyframe (the reference's
+        # CreateInitialMapMonocular stamps mnFirstKFid with pKFcur->mnId=1),
+        # so they only reach culling age after two more keyframes.
+        self.point_first_kf[slots] = 1
+        self.point_recent[slots] = True
 
         pose0 = np.zeros(6)
         pose1 = np.concatenate(
@@ -256,14 +426,21 @@ class MonocularTracker:
         kf1_map[idx[src_rows]] = slots
 
         self.keyframes = [
-            Keyframe(pose0, kp0, d0, v0, kf0_map, n_new),
-            Keyframe(pose1, kp_norm, desc, valid, kf1_map, n_new),
+            Keyframe(pose0, kp0, d0, v0, kf0_map, n_new, kf_id=0),
+            Keyframe(pose1, kp_norm, desc, valid, kf1_map, n_new, kf_id=1),
         ]
-        self.trajectory.append(FramePose(fid0, t0, pose0))
-        self.trajectory.append(FramePose(frame_id, time_usec, pose1))
+        self._next_kf_id = 2
+        # The two init frames anchor to their own keyframes.
+        self.trajectory.append(
+            FramePose(fid0, t0, pose0, ref_kf_id=0, rel6=np.zeros(6))
+        )
+        self.trajectory.append(
+            FramePose(frame_id, time_usec, pose1, ref_kf_id=1, rel6=np.zeros(6))
+        )
         self._pose = pose1
         self._motion = self._pose_delta(pose0, pose1)
         self._frames_since_keyframe = 0
+        self._refresh_local_points()
         self.state = OK
 
     @staticmethod
@@ -289,13 +466,23 @@ class MonocularTracker:
     def _track_attempt(self, predicted, kp_norm, desc, valid):
         """Projected matching + robust pose refinement around a pose guess
         (SearchByProjection + PoseOptimization analogue). Returns
-        (pose_result, match_idx, inliers)."""
+        (pose_result, match_idx, inliers, in_front)."""
         cam = np.asarray(
             _transform(jnp.asarray(predicted), jnp.asarray(self.points))
         )
-        in_front = (cam[:, 2] > 0.05) & self.point_valid
+        in_front = (cam[:, 2] > 0.05) & self.point_valid & self._local_points
         proj = np.asarray(_project(jnp.asarray(cam)))
         proj = np.where(in_front[:, None], proj, 1e3)
+        # "Visible" for the found-ratio statistic means inside the field of
+        # view (Frame::isInFrustum checks image bounds); approximate the
+        # image extent from this frame's keypoints so off-screen points are
+        # not penalized for being unmatchable.
+        if valid.any():
+            lo = kp_norm[valid].min(axis=0) - self.config.match_search_radius
+            hi = kp_norm[valid].max(axis=0) + self.config.match_search_radius
+            in_view = in_front & np.all((proj >= lo) & (proj <= hi), axis=1)
+        else:
+            in_view = in_front
 
         m = _match_projected(
             jnp.asarray(self.point_desc), jnp.asarray(proj),
@@ -316,11 +503,11 @@ class MonocularTracker:
             jnp.asarray(obs),
             jnp.asarray(match_ok),
         )
-        return res, match_idx, np.asarray(res.inliers)
+        return res, match_idx, np.asarray(res.inliers), in_view
 
     def _track(self, kp_norm, desc, valid, frame_id, time_usec):
         predicted = self._compose(self._motion, self._pose)
-        res, match_idx, inliers = self._track_attempt(
+        res, match_idx, inliers, in_front = self._track_attempt(
             predicted, kp_norm, desc, valid
         )
         num_inliers = int(res.num_inliers)
@@ -344,27 +531,39 @@ class MonocularTracker:
             )
             accepted = False
             if int(reloc.num_inliers) >= max(8, self.config.min_track_inliers // 2):
-                res2, match_idx2, inliers2 = self._track_attempt(
+                # Locality is stale around a global relocalization: guided
+                # re-tracking (and tracking until the next keyframe rebuilds
+                # the window) runs against the whole map.
+                saved_local = self._local_points
+                self._local_points = self.point_valid.copy()
+                res2, match_idx2, inliers2, in_front2 = self._track_attempt(
                     np.asarray(reloc.pose6), kp_norm, desc, valid
                 )
                 if int(res2.num_inliers) >= self.config.min_track_inliers:
                     res, match_idx, inliers = res2, match_idx2, inliers2
+                    in_front = in_front2
                     num_inliers = int(res2.num_inliers)
                     self._motion = np.zeros(6)  # motion model invalidated
                     accepted = True
+                else:
+                    self._local_points = saved_local
             if not accepted:
                 self.state = LOST
-                self.trajectory.append(
-                    FramePose(
-                        frame_id, time_usec, self._pose.copy(), is_lost=True
-                    )
+                self._append_frame(
+                    frame_id, time_usec, self._pose.copy(), is_lost=True
                 )
                 return
+
+        # Per-point tracking statistics (MapPoint::IncreaseVisible/Found):
+        # visible = the point was searched in this frame's frustum, found =
+        # it survived pose optimization as an inlier.
+        self.point_visible[in_front] += 1
+        self.point_found[inliers] += 1
 
         new_pose = np.asarray(res.pose6)
         self._motion = self._pose_delta(self._pose, new_pose)
         self._pose = new_pose
-        self.trajectory.append(FramePose(frame_id, time_usec, new_pose.copy()))
+        self._append_frame(frame_id, time_usec, new_pose)
         self._frames_since_keyframe += 1
 
         ref_inliers = self.keyframes[-1].num_inliers or num_inliers
@@ -377,12 +576,26 @@ class MonocularTracker:
             matched_points = np.nonzero(inliers)[0]
             kp_map[match_idx[matched_points]] = matched_points
             kf = Keyframe(
-                new_pose.copy(), kp_norm, desc, valid, kp_map, num_inliers
+                new_pose.copy(), kp_norm, desc, valid, kp_map, num_inliers,
+                kf_id=self._next_kf_id,
             )
+            self._next_kf_id += 1
             self.keyframes.append(kf)
+            # Re-anchor the just-appended frame to the new keyframe.
+            self.trajectory[-1].ref_kf_id = kf.kf_id
+            self.trajectory[-1].rel6 = np.zeros(6)
             self._create_new_points(kf)
+            # LocalMapping-equivalent maintenance, in the reference's order:
+            # cull unstable recent points, fuse duplicates, (BA), cull
+            # redundant keyframes (LocalMapping::Run).
+            self._map_point_culling(kf)
+            self._fuse_duplicates(kf)
             if self.config.ba_every_keyframe and len(self.keyframes) >= 3:
                 self._local_bundle_adjust()
+            self._keyframe_culling()
+            if self.config.enable_loop_closing:
+                self._try_close_loop(kf)
+            self._refresh_local_points()
             self._frames_since_keyframe = 0
 
     # ----------------------------------------------------------- map growth
@@ -445,13 +658,151 @@ class MonocularTracker:
         self.points[slots] = pts_world[:take]
         self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
         self.point_valid[slots] = True
+        self.point_visible[slots] = 1
+        self.point_found[slots] = 1
+        self.point_first_kf[slots] = kf.kf_id
+        self.point_recent[slots] = True
         prev.map_point[rows[:take]] = slots
         kf.map_point[idx[rows[:take]]] = slots
 
+    # ------------------------------------------------------ map maintenance
+    def _map_point_culling(self, kf: Keyframe):
+        """LocalMapping::MapPointCulling (LocalMapping.cc:170-206): recent
+        points must keep a found-ratio >= 0.25 and gather >cull_min_obs
+        keyframe observations within 2 keyframes of creation; survivors
+        graduate out of the recent list after 3 keyframes."""
+        recent = np.nonzero(self.point_recent & self.point_valid)[0]
+        if recent.size == 0:
+            return
+        # Age in keyframes since creation: current kf_id - first kf_id
+        # matches the reference's nCurrentKFid - mnFirstKFid (kf ids stay
+        # monotone even across keyframe culling).
+        age = kf.kf_id - self.point_first_kf[recent]
+        ratio = self.point_found[recent] / np.maximum(
+            self.point_visible[recent], 1
+        )
+        obs = self._point_observations()[recent]
+        bad = (ratio < self.config.cull_found_ratio) | (
+            (age >= 2) & (obs <= self.config.cull_min_observations)
+        )
+        self._cull_points(recent[bad])
+        graduated = recent[~bad][age[~bad] >= 3]
+        self.point_recent[graduated] = False
+
+    def _fuse_duplicates(self, kf: Keyframe, whole_map: bool = False):
+        """LocalMapping::SearchInNeighbors (LocalMapping.cc:454-525): project
+        map points NOT yet observed in the new keyframe into it; a match
+        onto a keypoint that already references a different point merges the
+        two (the better-observed point wins); a match onto a free keypoint
+        adds an observation.
+
+        Candidates come from the LOCAL window only (the reference fuses
+        against covisible neighbor keyframes) — fusing against the whole map
+        would silently stitch drifted revisits and mask loop errors.
+        ``whole_map=True`` is the post-loop-closure global fuse
+        (LoopClosing::SearchAndFuse), where stitching IS the point."""
+        observed = np.zeros(self.config.max_map_points, bool)
+        refs = kf.map_point[kf.map_point >= 0]
+        observed[refs] = True
+
+        cam = np.asarray(
+            _transform(jnp.asarray(kf.pose6), jnp.asarray(self.points))
+        )
+        in_front = (cam[:, 2] > 0.05) & self.point_valid & ~observed
+        if not whole_map:
+            in_front &= self._local_points
+        if not in_front.any():
+            return
+        proj = np.asarray(_project(jnp.asarray(cam)))
+        proj = np.where(in_front[:, None], proj, 1e3)
+        m = _match_projected(
+            jnp.asarray(self.point_desc), jnp.asarray(proj),
+            jnp.asarray(kf.descriptors), jnp.asarray(kf.kp_norm),
+            search_radius=self.config.fuse_search_radius,
+            valid_a=jnp.asarray(in_front), valid_b=jnp.asarray(kf.kp_valid),
+            max_distance=matching.HAMMING_LOW,
+        )
+        match_idx = np.asarray(m.index)
+        match_ok = np.asarray(m.valid)
+        pids = np.nonzero(match_ok)[0]
+        if pids.size == 0:
+            return
+        obs_counts = self._point_observations()
+        fused = 0
+        for pid in pids:
+            kp = int(match_idx[pid])
+            existing = int(kf.map_point[kp])
+            if existing < 0:
+                kf.map_point[kp] = pid  # new observation of an old point
+                continue
+            if existing == pid or not self.point_valid[existing]:
+                continue
+            # Duplicate pair: keep the better-observed point, redirect every
+            # keyframe reference of the loser, free the loser's slot.
+            winner, loser = (
+                (pid, existing)
+                if obs_counts[pid] >= obs_counts[existing]
+                else (existing, pid)
+            )
+            for other in self.keyframes:
+                other.map_point[other.map_point == loser] = winner
+            self.point_found[winner] += self.point_found[loser]
+            self.point_visible[winner] += self.point_visible[loser]
+            self.point_valid[loser] = False
+            self.point_recent[loser] = False
+            self.point_first_kf[loser] = -1
+            fused += 1
+        self.stats["points_fused"] += fused
+
+    def _keyframe_culling(self):
+        """LocalMapping::KeyFrameCulling (LocalMapping.cc:631-695): drop a
+        keyframe when >=90% of its tracked points are observed by at least 3
+        other keyframes. The first two keyframes (the monocular gauge) and
+        the freshest local pair are exempt. Trajectory frames anchored to a
+        culled keyframe re-anchor to its predecessor."""
+        if len(self.keyframes) < 4:
+            return
+        obs_counts = self._point_observations()
+        for i in range(2, len(self.keyframes) - 2):
+            kf = self.keyframes[i]
+            pids = kf.map_point[kf.map_point >= 0]
+            pids = pids[self.point_valid[pids]]
+            if pids.size == 0:
+                continue
+            # "Observations > thObs" in the reference counts keyframes other
+            # than this one, i.e. total observations >= thObs + 1.
+            redundant = obs_counts[pids] >= self.config.keyframe_cull_min_obs + 1
+            if redundant.sum() <= self.config.keyframe_cull_redundancy * pids.size:
+                continue
+            prev = self.keyframes[i - 1]
+            delta_to_prev = self._pose_delta(prev.pose6, kf.pose6)
+            for fp in self.trajectory:
+                if fp.ref_kf_id == kf.kf_id and fp.rel6 is not None:
+                    fp.rel6 = self._compose(fp.rel6, delta_to_prev)
+                    fp.ref_kf_id = prev.kf_id
+            del self.keyframes[i]
+            self.stats["keyframes_culled"] += 1
+            return  # at most one cull per keyframe insertion
+
     # ------------------------------------------------------------- local BA
+    def _global_bundle_adjust(self):
+        """Whole-map BA after a loop closure (LoopClosing::
+        RunGlobalBundleAdjustment, Optimizer::GlobalBundleAdjustemnt): with
+        duplicated landmarks fused across the seam, joint reprojection
+        optimization of ALL keyframes + points polishes the closed loop to
+        the observation noise floor — the Sim3 edge only needs to be good
+        enough for fusion to land. Dense LM: at tracker scale (tens of
+        keyframes x a few thousand points) the flattened problem fits one
+        MXU-friendly solve; no sparse Schur machinery needed."""
+        self._windowed_bundle_adjust(self.keyframes)
+
     def _local_bundle_adjust(self):
-        window = self.keyframes[-self.config.local_window :]
-        fixed_offset = len(self.keyframes) - len(window)
+        self._windowed_bundle_adjust(
+            self.keyframes[-self.config.local_window :],
+            pad_poses_to=self.config.local_window,
+        )
+
+    def _windowed_bundle_adjust(self, window, pad_poses_to=None):
         obs_pose, obs_point, obs_uv = [], [], []
         point_ids = {}
         for ki, kf in enumerate(window):
@@ -470,11 +821,12 @@ class MonocularTracker:
 
         # Pad to fixed buckets so the jitted BA compiles a handful of shapes
         # over the whole ride instead of once per keyframe: poses padded to
-        # the window size, points/observations to power-of-two-ish buckets.
+        # the window size (local) or an 8-bucket (global),
+        # points/observations to power-of-two-ish buckets.
         def bucket(n, step):
             return -(-n // step) * step
 
-        num_k = self.config.local_window
+        num_k = pad_poses_to or bucket(len(window), 8)
         poses = np.stack([kf.pose6 for kf in window])
         if poses.shape[0] < num_k:
             poses = np.concatenate(
@@ -511,5 +863,93 @@ class MonocularTracker:
             kf.pose6 = new_poses[ki]
         self.points[pids] = np.asarray(result.points)[: len(pids)]
         # Keep the tracker's current pose consistent with the refined last KF.
-        self._pose = new_poses[len(window) - 1].copy()
-        _ = fixed_offset  # window poses all free; gauge pinned inside BA
+        # Keep the live pose consistent with the newest keyframe if it was
+        # part of this window (it may sit mid-list in a seam window).
+        for ki, kf in enumerate(window):
+            if kf is self.keyframes[-1]:
+                self._pose = new_poses[ki].copy()
+                break
+
+    # ---------------------------------------------------------- loop closing
+    def _try_close_loop(self, kf: Keyframe):
+        """Detect + close loops (LoopClosing.cc semantics, TPU shapes):
+        exhaustive MXU descriptor voting against all old keyframes replaces
+        the DBoW2 index, RANSAC-Umeyama on matched 3D-3D map points replaces
+        Sim3Solver, and a dense Sim(3) pose graph replaces
+        OptimizeEssentialGraph. See vo/loopclosing.py."""
+        from pilotguru_tpu.vo import loopclosing
+
+        if (
+            len(self.keyframes)
+            < self.config.loop_exclude_recent + self.config.loop_cooldown_keyframes
+        ):
+            return
+        # Cooldown in monotone kf ids (list length shrinks under culling).
+        if (
+            kf.kf_id - self._last_loop_kf_id
+            < self.config.loop_cooldown_keyframes
+        ):
+            return
+        cand_idx = loopclosing.detect_and_close(self, kf)
+        if cand_idx is not None:
+            self._last_loop_kf_id = kf.kf_id
+            self._last_loop_cand_kf_id = self.keyframes[cand_idx].kf_id
+            self.stats["loop_closures"] += 1
+            # Post-correction fusion stitches the revisited region's
+            # duplicated points (LoopClosing's SearchAndFuse role), then BA
+            # polishes the map against the fused seam.
+            self._fuse_duplicates(kf, whole_map=True)
+            self._post_loop_ba(cand_idx)
+            self._refresh_local_points()
+
+    def _post_loop_ba(self, cand_idx: int):
+        if self.config.loop_ba == "none":
+            return
+        if self.config.loop_ba == "global" or len(self.keyframes) <= 12:
+            self._global_bundle_adjust()
+            return
+        # Seam window: the loop stitch lives between the candidate's
+        # neighborhood and the current tail; optimizing just those
+        # keyframes (with their fused points) captures most of the global
+        # BA's benefit at local-BA cost.
+        lo = max(cand_idx - 2, 0)
+        hi = min(cand_idx + 3, len(self.keyframes))
+        window = self.keyframes[lo:hi] + self.keyframes[-6:]
+        seen = set()
+        uniq = []
+        for k in window:
+            if k.kf_id not in seen:
+                seen.add(k.kf_id)
+                uniq.append(k)
+        self._windowed_bundle_adjust(uniq)
+
+    def finalize(self):
+        """End-of-segment global-consistency pass: one cooldown-exempt loop
+        detection + closure on the final keyframe. The reference runs its
+        (async) global BA when a loop closes and a full-trajectory
+        reconstruction at Shutdown; for the odometry outputs the equivalent
+        win is closing the terminal loop exactly at the segment end, where
+        the revisit overlap is maximal."""
+        from pilotguru_tpu.vo import loopclosing
+
+        if not self.config.enable_loop_closing or len(self.keyframes) < 4:
+            return
+        kf = self.keyframes[-1]
+        cand_idx = loopclosing.detect_and_close(self, kf)
+        if cand_idx is not None:
+            self.stats["loop_closures"] += 1
+            self._fuse_duplicates(kf, whole_map=True)
+            self._post_loop_ba(cand_idx)
+            self._refresh_local_points()
+        elif self.stats["loop_closures"] > 0:
+            # A loop closed mid-ride: the keyframes appended AFTER it never
+            # saw the seam BA. One more fuse + seam polish folds the tail
+            # into the stitched region (the role of the reference's
+            # closure-time global BA, which runs async and so also covers
+            # later keyframes by correction propagation).
+            by_id = self._kf_index_by_id()
+            polish_idx = by_id.get(self._last_loop_cand_kf_id)
+            if polish_idx is not None:
+                self._fuse_duplicates(kf, whole_map=True)
+                self._post_loop_ba(polish_idx)
+                self._refresh_local_points()

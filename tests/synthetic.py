@@ -206,6 +206,7 @@ def render_parallax_video(
     num_points: int = 400,
     fx: float = 250.0,
     seed: int = 7,
+    dot_scale: float = 7.0 / 250.0,
 ):
     """Render a curving drive through random textured billboards.
 
@@ -240,7 +241,9 @@ def render_parallax_video(
             if z < 0.5:
                 continue
             u, v = fx * x / z + cx, fx * y / z + cy
-            r = max(int(round(7.0 / z)), 1)
+            # Billboard size scales with focal length so the rendered
+            # texture has comparable pixel footprint at any resolution.
+            r = max(int(round(dot_scale * fx / z)), 1)
             if -r <= u < width + r and -r <= v < height + r:
                 cv2.rectangle(
                     img, (int(u) - r, int(v) - r), (int(u) + r, int(v) + r),

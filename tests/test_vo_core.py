@@ -57,6 +57,36 @@ class TestExtractor:
         # Multiple pyramid levels contribute.
         assert len(np.unique(np.asarray(kps.level)[valid])) >= 2
 
+    def test_720p_reference_budget_spatial_spread(self):
+        """Reference scale (2000 features / 8 levels, calibrate.cc:518-531)
+        on a 1280x720 frame: the grid-top-k selection must cover the frame
+        like ORBextractor's octree distribution — keypoints in (nearly)
+        every occupied coarse region, not clumped on the strongest texture.
+        """
+        rng = np.random.default_rng(7)
+        img = _textured_image(rng, h=720, w=1280)
+        # Make one corner region much higher-contrast: a clump-prone input.
+        img[:180, :320] = np.clip(img[:180, :320] * 1.8, 0, 1)
+        kps = features.extract_orb_features(
+            jnp.asarray(img), num_levels=8, total_budget=2000
+        )
+        valid = np.asarray(kps.valid)
+        xy = np.asarray(kps.xy)[valid]
+        # Blocky synthetic texture yields ~1 keypoint per grid cell per
+        # level, so the full 2000 budget does not fill; >1000 distinct
+        # corners at 720p is the meaningful bar.
+        assert valid.sum() > 1000
+        # Coverage over an 8x8 coarse grid: textured everywhere, so nearly
+        # every region must hold keypoints.
+        gx = np.clip((xy[:, 0] / 1280.0 * 8).astype(int), 0, 7)
+        gy = np.clip((xy[:, 1] / 720.0 * 8).astype(int), 0, 7)
+        occupied = np.zeros((8, 8), bool)
+        occupied[gy, gx] = True
+        assert occupied.sum() >= 60, f"only {occupied.sum()}/64 regions covered"
+        # The boosted-contrast corner must not dominate.
+        clump = ((xy[:, 0] < 320) & (xy[:, 1] < 180)).mean()
+        assert clump < 0.25, f"{clump:.0%} of keypoints clumped in one corner"
+
     def test_descriptors_distinguish_keypoints(self):
         rng = np.random.default_rng(2)
         img = _textured_image(rng, h=160, w=200)
