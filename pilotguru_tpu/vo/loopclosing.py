@@ -60,16 +60,21 @@ def detect_candidate(tracker, kf: Keyframe):
     old = tracker.keyframes[: -config.loop_exclude_recent]
     if not old:
         return None
+    # Stack the stored keyframes' device-resident descriptor copies
+    # (uploaded once per keyframe, tracking.py kf_descriptors_device) —
+    # the sweep is pure HBM traffic + one vmapped MXU pass, no per-call
+    # host uploads. Padding rows reuse entry 0 with an all-False mask.
     n = _bucket(len(old))
-    desc = np.zeros((n,) + kf.descriptors.shape, np.uint8)
-    valid = np.zeros((n, kf.descriptors.shape[0]), bool)
-    for i, okf in enumerate(old):
-        desc[i] = okf.descriptors
-        valid[i] = okf.kp_valid
+    descs, valids = zip(*(tracker.kf_descriptors_device(okf) for okf in old))
+    pad = n - len(old)
+    desc = jnp.stack(list(descs) + [descs[0]] * pad)
+    valid = jnp.stack(
+        list(valids) + [jnp.zeros_like(valids[0])] * pad
+    )
     votes = np.asarray(
         _vote_counts(
             jnp.asarray(kf.descriptors), jnp.asarray(kf.kp_valid),
-            jnp.asarray(desc), jnp.asarray(valid),
+            desc, valid,
         )
     )[: len(old)].copy()  # device arrays are read-only views
 

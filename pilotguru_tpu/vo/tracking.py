@@ -213,6 +213,11 @@ class MonocularTracker:
         # implicit relocalization, masking drift and starving loop closure
         # of its signal. Relocalization still searches the full map.
         self._local_points = np.zeros((m,), bool)
+        # Device-resident keyframe descriptors for loop detection, keyed by
+        # kf_id: uploaded once per keyframe so the per-insertion candidate
+        # sweep stacks on-device instead of re-transferring every stored
+        # keyframe (O(K) HBM copies instead of O(K) PCIe round trips).
+        self._kf_desc_dev: Dict[int, tuple] = {}
         # Maintenance observability (never silently degrade the map).
         self.stats: Dict[str, int] = {
             "points_culled": 0,
@@ -298,6 +303,18 @@ class MonocularTracker:
 
     def _kf_index_by_id(self) -> Dict[int, int]:
         return {kf.kf_id: i for i, kf in enumerate(self.keyframes)}
+
+    def _cache_kf_descriptors(self, kf: Keyframe):
+        self._kf_desc_dev[kf.kf_id] = (
+            jnp.asarray(kf.descriptors),
+            jnp.asarray(kf.kp_valid),
+        )
+
+    def kf_descriptors_device(self, kf: Keyframe):
+        """Device copies of a keyframe's descriptors (cached per kf_id)."""
+        if kf.kf_id not in self._kf_desc_dev:
+            self._cache_kf_descriptors(kf)
+        return self._kf_desc_dev[kf.kf_id]
 
     def _refresh_local_points(self):
         """Local map = points observed by the recent keyframe window
@@ -430,6 +447,8 @@ class MonocularTracker:
             Keyframe(pose1, kp_norm, desc, valid, kf1_map, n_new, kf_id=1),
         ]
         self._next_kf_id = 2
+        for new_kf in self.keyframes:
+            self._cache_kf_descriptors(new_kf)
         # The two init frames anchor to their own keyframes.
         self.trajectory.append(
             FramePose(fid0, t0, pose0, ref_kf_id=0, rel6=np.zeros(6))
@@ -581,6 +600,7 @@ class MonocularTracker:
             )
             self._next_kf_id += 1
             self.keyframes.append(kf)
+            self._cache_kf_descriptors(kf)
             # Re-anchor the just-appended frame to the new keyframe.
             self.trajectory[-1].ref_kf_id = kf.kf_id
             self.trajectory[-1].rel6 = np.zeros(6)
@@ -780,6 +800,7 @@ class MonocularTracker:
                 if fp.ref_kf_id == kf.kf_id and fp.rel6 is not None:
                     fp.rel6 = self._compose(fp.rel6, delta_to_prev)
                     fp.ref_kf_id = prev.kf_id
+            self._kf_desc_dev.pop(kf.kf_id, None)
             del self.keyframes[i]
             self.stats["keyframes_culled"] += 1
             return  # at most one cull per keyframe insertion
