@@ -91,17 +91,18 @@ class TestArenaPressure:
 
 
 class TestKeyframeCulling:
+    # Half-speed motion + a keyframe every 2 frames: consecutive keyframes
+    # share most observations (redundancy) while parallax stays sufficient
+    # for healthy monocular triangulation (a full crawl breaks the
+    # initializer — a degenerate monocular case, not a culling scenario).
+
     def test_redundant_keyframes_culled_when_camera_lingers(self):
-        # A camera that hovers (tiny oscillation) produces keyframes that
-        # all observe the same points -> the 90% redundancy rule fires.
         scene = SyntheticScene()
 
         def features(t):
-            # Slow crawl: 10x slower than the base scene so consecutive
-            # keyframes share nearly all observations.
-            return scene.frame_features(t * 0.1)
+            return scene.frame_features(t * 0.5)
 
-        config = TrackerConfig(keyframe_max_gap=3, **BASE)
+        config = TrackerConfig(keyframe_max_gap=2, **BASE)
         tracker, states = run_tracker(
             config, scene, duration=20.0, feature_fn=features
         )
@@ -112,9 +113,9 @@ class TestKeyframeCulling:
         scene = SyntheticScene()
 
         def features(t):
-            return scene.frame_features(t * 0.1)
+            return scene.frame_features(t * 0.5)
 
-        config = TrackerConfig(keyframe_max_gap=3, **BASE)
+        config = TrackerConfig(keyframe_max_gap=2, **BASE)
         tracker, _ = run_tracker(config, scene, duration=20.0, feature_fn=features)
         assert tracker.stats["keyframes_culled"] > 0
         final = tracker.final_trajectory()
@@ -132,34 +133,78 @@ class TestKeyframeCulling:
 
 
 class TestFusion:
+    """Deterministic unit tests on a hand-built map state. (With unique
+    stable synthetic descriptors and reliable tracking, organic duplicates
+    only arise at loop seams — test_loopclosing covers that integration
+    path, where closures fuse 20+ points.)"""
+
+    def _tracker_with_duplicate(self):
+        from pilotguru_tpu.vo.tracking import Keyframe
+
+        rng = np.random.default_rng(0)
+        config = TrackerConfig(max_map_points=64, **BASE)
+        tracker = MonocularTracker(CameraModel(1, 1, 0, 0), config)
+        k = 8
+        desc_dup = rng.integers(0, 2, size=256).astype(np.uint8)
+        desc_other = rng.integers(0, 2, size=256).astype(np.uint8)
+        p = np.array([0.1, -0.05, 4.0])
+        other = np.array([-0.3, 0.2, 5.0])
+        tracker.points[0] = p
+        tracker.points[1] = p + 1e-4  # the duplicate
+        tracker.points[2] = other
+        tracker.point_desc[0] = desc_dup
+        tracker.point_desc[1] = desc_dup
+        tracker.point_desc[2] = desc_other
+        tracker.point_valid[:3] = True
+        tracker.point_visible[:3] = 4
+        tracker.point_found[:3] = 4
+
+        def kf(map_refs):
+            kp = np.zeros((k, 2))
+            desc = np.zeros((k, 256), np.uint8)
+            valid = np.zeros(k, bool)
+            kp[0] = p[:2] / p[2]
+            desc[0] = desc_dup
+            valid[0] = True
+            kp[1] = other[:2] / other[2]
+            desc[1] = desc_other
+            valid[1] = True
+            mp = np.full(k, -1, np.int32)
+            for row, pid in map_refs.items():
+                mp[row] = pid
+            return Keyframe(
+                np.zeros(6), kp, desc, valid, mp, 2,
+                kf_id=tracker._next_kf_id,
+            )
+
+        kf_a = kf({0: 0, 1: 2})  # original observations
+        tracker._next_kf_id += 1
+        kf_b = kf({0: 1})  # re-observation landed on the duplicate
+        tracker._next_kf_id += 1
+        tracker.keyframes = [kf_a, kf_b]
+        tracker._refresh_local_points()
+        return tracker, kf_a, kf_b
+
     def test_duplicate_points_get_fused(self):
-        # Force duplicates: a scene that doubles back over the same stretch
-        # within the local keyframe window (fusion candidates are local-only,
-        # like SearchInNeighbors' covisible neighbors), so re-triangulated
-        # landmarks meet their originals.
-        scene = SyntheticScene()
+        tracker, kf_a, kf_b = self._tracker_with_duplicate()
+        tracker._fuse_duplicates(kf_b)
+        assert tracker.stats["points_fused"] == 1
+        # One of the twins is gone; every reference points at the survivor.
+        assert tracker.point_valid[:2].sum() == 1
+        survivor = int(np.nonzero(tracker.point_valid[:2])[0][0])
+        assert kf_a.map_point[0] == survivor
+        assert kf_b.map_point[0] == survivor
 
-        def features(t):
-            # Forward then backward, period 4 s = ~4 keyframes at gap 4.
-            tt = 2.0 - abs(2.0 - (t % 4.0))
-            return scene.frame_features(tt + 0.025 * t)
-
-        config = TrackerConfig(keyframe_max_gap=4, **BASE)
-        tracker, states = run_tracker(
-            config, scene, duration=14.0, feature_fn=features
-        )
-        assert LOST not in states
-        assert tracker.stats["points_fused"] > 0
+    def test_match_onto_free_keypoint_adds_observation(self):
+        tracker, kf_a, kf_b = self._tracker_with_duplicate()
+        # kf_b sees the 'other' landmark's feature but has no reference yet.
+        assert kf_b.map_point[1] == -1
+        tracker._fuse_duplicates(kf_b)
+        assert kf_b.map_point[1] == 2
 
     def test_fusion_keeps_references_consistent(self):
-        scene = SyntheticScene()
-
-        def features(t):
-            tt = 2.0 - abs(2.0 - (t % 4.0))
-            return scene.frame_features(tt + 0.025 * t)
-
-        config = TrackerConfig(keyframe_max_gap=4, **BASE)
-        tracker, _ = run_tracker(config, scene, duration=14.0, feature_fn=features)
+        tracker, _, kf_b = self._tracker_with_duplicate()
+        tracker._fuse_duplicates(kf_b)
         for kf in tracker.keyframes:
             refs = kf.map_point[kf.map_point >= 0]
             assert tracker.point_valid[refs].all()
