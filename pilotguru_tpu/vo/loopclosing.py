@@ -27,7 +27,11 @@ import numpy as np
 from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
 from pilotguru_tpu.vo import matching, posegraph, sim3
 from pilotguru_tpu.vo.pose import huber_weights, project, rotvec_to_matrix
-from pilotguru_tpu.vo.tracking import Keyframe, _match_descriptors
+from pilotguru_tpu.vo.tracking import (
+    Keyframe,
+    _match_descriptors,
+    np_rotvec_to_matrix,
+)
 
 
 @partial(jax.jit, static_argnames=())
@@ -182,7 +186,7 @@ def relative_sim3(tracker, kf: Keyframe, cand: Keyframe):
         return None
 
     def to_cam(pose6, pts):
-        r = np.asarray(rotvec_to_matrix(jnp.asarray(pose6[:3])))
+        r = np_rotvec_to_matrix(pose6[:3])
         return pts @ r.T + pose6[3:]
 
     a = to_cam(kf.pose6, tracker.points[pid_cur])  # current camera frame
@@ -199,13 +203,17 @@ def relative_sim3(tracker, kf: Keyframe, cand: Keyframe):
     fit = sim3.ransac_umeyama(
         jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(va), tracker._next_key()
     )
-    if int(fit.num_inliers) < tracker.config.loop_min_inliers:
+    # Array pull + host sum (0-d pulls are pathologically slow through the
+    # remote-chip tunnel; see fused_track_step).
+    fit_inliers = np.asarray(fit.inliers)
+    num_fit_inliers = int(fit_inliers.sum())
+    if num_fit_inliers < tracker.config.loop_min_inliers:
         return None
 
     # Reprojection polish on the RANSAC inliers: image observations are far
     # tighter than triangulated 3D positions, and the pose graph is only as
     # good as this edge.
-    inl = np.asarray(fit.inliers)[: rows.size]
+    inl = fit_inliers[: rows.size]
     r_in = rows[inl]
     obs_cur = kf.kp_norm[r_in]
     obs_cand = cand.kp_norm[idx[r_in]]
@@ -229,7 +237,7 @@ def relative_sim3(tracker, kf: Keyframe, cand: Keyframe):
         padded(obs_cand, 2),
         jnp.asarray(np.arange(p) < r_in.size),
     )
-    return np.asarray(refined), int(fit.num_inliers)
+    return np.asarray(refined), num_fit_inliers
 
 
 def close_loop(tracker, cur_idx: int, cand_idx: int, loop_meas7: np.ndarray):

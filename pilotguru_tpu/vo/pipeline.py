@@ -68,11 +68,18 @@ def prefetch_features(
             threshold=config.fast_threshold,
         )
         xy = np.asarray(kps.xy)
-        desc = np.asarray(kps.descriptors)
         valid = np.asarray(kps.valid)
         for i in range(n):
             f = pending[i]
-            f.features = (camera.normalize(xy[i]), desc[i], valid[i])
+            # Keypoints/validity come back to host (small, needed for
+            # bookkeeping); descriptors STAY on device — the per-frame
+            # matching consumes them there, and the tracker pulls a host
+            # copy only when a frame is promoted to keyframe.
+            f.features = (
+                camera.normalize(xy[i]),
+                kps.descriptors[i],
+                valid[i],
+            )
             yield f
         pending.clear()
 

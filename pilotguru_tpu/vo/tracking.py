@@ -35,6 +35,7 @@ States mirror the reference enum: NOT_INITIALIZED -> OK -> LOST
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -58,6 +59,49 @@ from pilotguru_tpu.vo.twoview import triangulate, two_view_reconstruction
 NOT_INITIALIZED = "NOT_INITIALIZED"
 OK = "OK"
 LOST = "LOST"
+
+
+# Host-side 3x3 rotation helpers (numpy twins of vo/pose.py): pose
+# composition runs several times per frame on scalars-and-3-vectors, where
+# a device dispatch + result pull costs ~30 ms through a remote-chip tunnel
+# versus microseconds on the host. Same Taylor-safe formulas as the jax
+# versions (kept in sync; the jax ones serve the jitted programs).
+def np_rotvec_to_matrix(w):
+    theta2 = float(w @ w)
+    theta = np.sqrt(theta2 + 1e-30)
+    k = np.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]]
+    )
+    if theta2 < 1e-12:
+        a = 1.0 - theta2 / 6.0
+        b = 0.5 - theta2 / 24.0
+    else:
+        a = np.sin(theta) / theta
+        b = (1.0 - np.cos(theta)) / theta2
+    return np.eye(3) + a * k + b * (k @ k)
+
+
+def np_matrix_to_rotvec(r):
+    cos = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos)
+    axis_raw = np.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    sin = np.linalg.norm(axis_raw) / 2.0
+    scale = theta / (2.0 * sin) if sin > 1e-9 else 0.5
+    return axis_raw * scale
+
+
+def np_matrix_to_quat(r):
+    qw = np.sqrt(max(1.0 + r[0, 0] + r[1, 1] + r[2, 2], 1e-12)) / 2.0
+    qx = np.sqrt(max(1.0 + r[0, 0] - r[1, 1] - r[2, 2], 1e-12)) / 2.0
+    qy = np.sqrt(max(1.0 - r[0, 0] + r[1, 1] - r[2, 2], 1e-12)) / 2.0
+    qz = np.sqrt(max(1.0 - r[0, 0] - r[1, 1] + r[2, 2], 1e-12)) / 2.0
+    qx *= np.sign(r[2, 1] - r[1, 2]) or 1.0
+    qy *= np.sign(r[0, 2] - r[2, 0]) or 1.0
+    qz *= np.sign(r[1, 0] - r[0, 1]) or 1.0
+    q = np.array([qw, qx, qy, qz])
+    return q / np.linalg.norm(q)
 
 # Jitted device programs (shape-keyed compile cache; the tracker feeds
 # fixed/bucketed shapes so each compiles a handful of times per ride).
@@ -87,6 +131,160 @@ _bundle_adjust = jax.jit(
 _triangulate = jax.jit(triangulate)
 _transform = jax.jit(transform)
 _project = jax.jit(project)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("search_radius", "max_distance"),
+)
+def fused_track_step(
+    points,  # [M, 3] map points (device-resident)
+    point_desc,  # [M, 256]
+    cand_mask,  # [M] bool — valid & local
+    predicted,  # [6] pose guess
+    kp_norm,  # [K, 2]
+    kp_desc,  # [K, 256]
+    kp_valid,  # [K] bool
+    search_radius: float,
+    max_distance: int,
+):
+    """One whole tracking attempt as a SINGLE device program: frustum test,
+    projected matching, robust pose refinement, and visibility statistics.
+
+    Through a remote-attached chip every dispatch pays the tunnel's
+    round-trip latency, so the per-frame hot path must be one call with the
+    map already resident in HBM — only the frame's keypoints ride up and a
+    few small vectors ride back. (On a locally-attached chip this same
+    fusion removes per-op dispatch overhead.)
+    """
+    cam = transform(predicted, points)
+    in_front = (cam[:, 2] > 0.05) & cand_mask
+    proj = project(cam)
+    proj = jnp.where(in_front[:, None], proj, 1e3)
+
+    # Field-of-view bounds for the found-ratio statistic, from this frame's
+    # keypoint extent (Frame::isInFrustum checks image bounds).
+    big = jnp.asarray(jnp.inf, kp_norm.dtype)
+    lo = jnp.min(jnp.where(kp_valid[:, None], kp_norm, big), axis=0)
+    hi = jnp.max(jnp.where(kp_valid[:, None], kp_norm, -big), axis=0)
+    any_kp = jnp.any(kp_valid)
+    in_view = in_front & jnp.all(
+        (proj >= lo - search_radius) & (proj <= hi + search_radius), axis=1
+    )
+    in_view = jnp.where(any_kp, in_view, in_front)
+
+    m = matching.match_projected(
+        point_desc, proj, kp_desc, kp_norm,
+        search_radius=search_radius,
+        valid_a=in_front, valid_b=kp_valid,
+        max_distance=max_distance,
+    )
+    obs = jnp.where(m.valid[:, None], kp_norm[jnp.clip(m.index, 0, None)], 0.0)
+    res = optimize_pose(predicted, points, obs, m.valid)
+    # ONE packed f32 result vector: every host<->device round trip costs
+    # ~30 ms through the tunnel (and a 0-d scalar pull costs ~seconds), so
+    # the whole per-frame result rides back in a single array pull —
+    # [pose6, num_inliers, match_idx[M], inliers[M], in_view[M]]. f32
+    # represents the small integer indices exactly.
+    f32 = jnp.float32
+    packed = jnp.concatenate(
+        [
+            res.pose6.astype(f32),
+            res.num_inliers.astype(f32)[None],
+            m.index.astype(f32),
+            res.inliers.astype(f32),
+            in_view.astype(f32),
+        ]
+    )
+    return packed
+
+
+@partial(jax.jit, static_argnames=("min_parallax_cos",))
+def fused_create_points(
+    prev_desc,  # [K, 256]
+    prev_un,  # [K] bool — unmatched & valid in previous keyframe
+    prev_kp,  # [K, 2]
+    curr_desc,  # [K, 256]
+    curr_un,  # [K] bool
+    curr_kp,  # [K, 2]
+    delta6,  # [6] prev->curr relative pose
+    prev_pose6,  # [6] world->prev camera
+    min_parallax_cos: float,
+):
+    """LocalMapping::CreateNewMapPoints as ONE device program: descriptor
+    matching + two-view triangulation + cheirality/parallax/reprojection
+    gating + world-frame transform, returning a single packed result vector
+    (same tunnel-latency rationale as fused_track_step)."""
+    m = matching.match_descriptors(
+        prev_desc, curr_desc, valid_a=prev_un, valid_b=curr_un,
+        max_distance=matching.HAMMING_LOW, ratio=0.85,
+    )
+    idx = jnp.clip(m.index, 0, None)
+    p1 = prev_kp
+    p2 = curr_kp[idx]
+    r21 = rotvec_to_matrix(delta6[:3])
+    t21 = delta6[3:]
+    pts_prev = triangulate(r21, t21, p1, p2)
+
+    z1 = pts_prev[:, 2]
+    cam2 = pts_prev @ r21.T + t21
+    z2 = cam2[:, 2]
+    norm1 = jnp.linalg.norm(pts_prev, axis=1, keepdims=True) + 1e-12
+    ray1 = pts_prev / norm1
+    c2_in_prev = -(r21.T @ t21)
+    ray2 = pts_prev - c2_in_prev
+    ray2 = ray2 / (jnp.linalg.norm(ray2, axis=1, keepdims=True) + 1e-12)
+    parallax_cos = jnp.sum(ray1 * ray2, axis=1)
+    reproj1 = jnp.linalg.norm(pts_prev[:, :2] / z1[:, None] - p1, axis=1)
+    reproj2 = jnp.linalg.norm(
+        cam2[:, :2] / jnp.maximum(z2, 1e-9)[:, None] - p2, axis=1
+    )
+    good = (
+        m.valid
+        & (z1 > 0.05) & (z2 > 0.05)
+        & (parallax_cos < min_parallax_cos)
+        & (reproj1 < 0.01) & (reproj2 < 0.01)
+        & jnp.all(jnp.isfinite(pts_prev), axis=1)
+    )
+    r_prev = rotvec_to_matrix(prev_pose6[:3])
+    pts_world = (pts_prev - prev_pose6[3:]) @ r_prev  # R^T (x - t)
+
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            m.index.astype(f32),
+            good.astype(f32),
+            pts_world.astype(f32).ravel(),
+        ]
+    )
+
+
+@partial(jax.jit, static_argnames=("search_radius", "max_distance"))
+def fused_project_match(
+    points,  # [M, 3]
+    point_desc,  # [M, 256]
+    cand_mask,  # [M] bool
+    pose6,  # [6]
+    kp_desc,  # [K, 256]
+    kp_norm,  # [K, 2]
+    kp_valid,  # [K] bool
+    search_radius: float,
+    max_distance: int,
+):
+    """Project candidate map points into a keyframe and match (the fusion
+    search), packed into one result pull: [match_idx M, ok M]."""
+    cam = transform(pose6, points)
+    in_front = (cam[:, 2] > 0.05) & cand_mask
+    proj = project(cam)
+    proj = jnp.where(in_front[:, None], proj, 1e3)
+    m = matching.match_projected(
+        point_desc, proj, kp_desc, kp_norm,
+        search_radius=search_radius,
+        valid_a=in_front, valid_b=kp_valid,
+        max_distance=max_distance,
+    )
+    f32 = jnp.float32
+    return jnp.concatenate([m.index.astype(f32), m.valid.astype(f32)])
 
 
 @dataclass(frozen=True)
@@ -154,11 +352,10 @@ class FramePose:
     rel6: Optional[np.ndarray] = None
 
     def camera_to_world_quat(self) -> np.ndarray:
-        r_wc = np.asarray(rotvec_to_matrix(jnp.asarray(self.pose6[:3]))).T
-        return np.asarray(matrix_to_quat(jnp.asarray(r_wc)))
+        return np_matrix_to_quat(np_rotvec_to_matrix(self.pose6[:3]).T)
 
     def camera_center(self) -> np.ndarray:
-        r = np.asarray(rotvec_to_matrix(jnp.asarray(self.pose6[:3])))
+        r = np_rotvec_to_matrix(self.pose6[:3])
         return -(r.T @ self.pose6[3:])
 
 
@@ -218,6 +415,11 @@ class MonocularTracker:
         # sweep stacks on-device instead of re-transferring every stored
         # keyframe (O(K) HBM copies instead of O(K) PCIe round trips).
         self._kf_desc_dev: Dict[int, tuple] = {}
+        # Device-resident map mirror for the per-frame hot path. Map
+        # mutations happen only at keyframe cadence; between keyframes every
+        # frame reuses the same HBM copy (invalidated via
+        # _invalidate_device_map).
+        self._dev_map = None
         # Maintenance observability (never silently degrade the map).
         self.stats: Dict[str, int] = {
             "points_culled": 0,
@@ -227,6 +429,20 @@ class MonocularTracker:
             "keyframes_culled": 0,
             "loop_closures": 0,
         }
+
+    def _invalidate_device_map(self):
+        self._dev_map = None
+
+    def _device_map(self):
+        """(points, descriptors, candidate mask) resident on device,
+        re-uploaded only after map mutations (keyframe cadence)."""
+        if self._dev_map is None:
+            self._dev_map = (
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_desc),
+                jnp.asarray(self.point_valid & self._local_points),
+            )
+        return self._dev_map
 
     # ---------------------------------------------------------------- utils
     def _extract(self, gray):
@@ -326,6 +542,9 @@ class MonocularTracker:
             refs = kf.map_point[kf.map_point >= 0]
             local[refs] = True
         self._local_points = local & self.point_valid
+        # Every map mutation path funnels through here (keyframe cadence),
+        # so this is the single choke point for the HBM mirror.
+        self._invalidate_device_map()
 
     # ------------------------------------------------------------ lifecycle
     def process_frame(self, gray, frame_id: int, time_usec: int) -> str:
@@ -402,11 +621,10 @@ class MonocularTracker:
         res = _two_view(
             jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(ok), self._next_key()
         )
-        if int(res.score) < self.config.min_init_inliers:
+        inl = np.asarray(res.inliers)  # array pull; 0-d pulls are slow
+        if int(inl.sum()) < self.config.min_init_inliers:
             self._init_attempts += 1
             return
-
-        inl = np.asarray(res.inliers)
         pts = np.asarray(res.points3d)
         # Monocular scale: median depth of inliers -> 1 (like ORB-SLAM2's
         # initializer normalization).
@@ -416,7 +634,11 @@ class MonocularTracker:
         t21 = np.asarray(res.translation) * scale
         r21 = np.asarray(res.rotation)
 
-        # World frame = first camera frame. Store map points.
+        # World frame = first camera frame. Store map points. Descriptors
+        # may arrive as device arrays (prefetch path): pull host copies
+        # here, where both frames become keyframes anyway.
+        d0 = np.asarray(d0)
+        desc = np.asarray(desc)
         n_new = int(inl.sum())
         slots = self._free_slots(n_new)
         src_rows = np.nonzero(inl)[0]
@@ -434,7 +656,7 @@ class MonocularTracker:
 
         pose0 = np.zeros(6)
         pose1 = np.concatenate(
-            [np.asarray(matrix_to_rotvec(jnp.asarray(r21))), t21]
+            [np_matrix_to_rotvec(r21), t21]
         )
 
         kf0_map = np.full(kp0.shape[0], -1, np.int32)
@@ -464,72 +686,56 @@ class MonocularTracker:
 
     @staticmethod
     def _pose_delta(prev6, curr6):
-        """delta such that curr = delta o prev (world->camera composition)."""
-        r_prev = np.asarray(rotvec_to_matrix(jnp.asarray(prev6[:3])))
-        r_curr = np.asarray(rotvec_to_matrix(jnp.asarray(curr6[:3])))
+        """delta such that curr = delta o prev (world->camera composition).
+        Pure host math — runs several times per frame (see np_rotvec_*)."""
+        r_prev = np_rotvec_to_matrix(prev6[:3])
+        r_curr = np_rotvec_to_matrix(curr6[:3])
         r_d = r_curr @ r_prev.T
         t_d = curr6[3:] - r_d @ prev6[3:]
-        return np.concatenate(
-            [np.asarray(matrix_to_rotvec(jnp.asarray(r_d))), t_d]
-        )
+        return np.concatenate([np_matrix_to_rotvec(r_d), t_d])
 
     @staticmethod
     def _compose(delta6, pose6):
-        r_d = np.asarray(rotvec_to_matrix(jnp.asarray(delta6[:3])))
-        r_p = np.asarray(rotvec_to_matrix(jnp.asarray(pose6[:3])))
+        r_d = np_rotvec_to_matrix(delta6[:3])
+        r_p = np_rotvec_to_matrix(pose6[:3])
         r = r_d @ r_p
         t = r_d @ pose6[3:] + delta6[3:]
-        return np.concatenate([np.asarray(matrix_to_rotvec(jnp.asarray(r))), t])
+        return np.concatenate([np_matrix_to_rotvec(r), t])
 
     # --------------------------------------------------------------- track
     def _track_attempt(self, predicted, kp_norm, desc, valid):
         """Projected matching + robust pose refinement around a pose guess
-        (SearchByProjection + PoseOptimization analogue). Returns
-        (pose_result, match_idx, inliers, in_front)."""
-        cam = np.asarray(
-            _transform(jnp.asarray(predicted), jnp.asarray(self.points))
+        (SearchByProjection + PoseOptimization analogue) — ONE fused device
+        call against the HBM-resident map (see fused_track_step). Returns
+        (pose6, num_inliers, match_idx, inliers, in_view) as host values."""
+        points_dev, desc_dev, cand_dev = self._device_map()
+        packed = np.asarray(
+            fused_track_step(
+                points_dev,
+                desc_dev,
+                cand_dev,
+                jnp.asarray(predicted),
+                jnp.asarray(kp_norm),
+                jnp.asarray(desc),
+                jnp.asarray(valid),
+                search_radius=self.config.match_search_radius,
+                max_distance=matching.HAMMING_HIGH,
+            )
         )
-        in_front = (cam[:, 2] > 0.05) & self.point_valid & self._local_points
-        proj = np.asarray(_project(jnp.asarray(cam)))
-        proj = np.where(in_front[:, None], proj, 1e3)
-        # "Visible" for the found-ratio statistic means inside the field of
-        # view (Frame::isInFrustum checks image bounds); approximate the
-        # image extent from this frame's keypoints so off-screen points are
-        # not penalized for being unmatchable.
-        if valid.any():
-            lo = kp_norm[valid].min(axis=0) - self.config.match_search_radius
-            hi = kp_norm[valid].max(axis=0) + self.config.match_search_radius
-            in_view = in_front & np.all((proj >= lo) & (proj <= hi), axis=1)
-        else:
-            in_view = in_front
-
-        m = _match_projected(
-            jnp.asarray(self.point_desc), jnp.asarray(proj),
-            jnp.asarray(desc), jnp.asarray(kp_norm),
-            search_radius=self.config.match_search_radius,
-            valid_a=jnp.asarray(in_front), valid_b=jnp.asarray(valid),
-            max_distance=matching.HAMMING_HIGH,
+        m = self.config.max_map_points
+        return (
+            packed[:6].astype(np.float64),
+            int(packed[6]),
+            packed[7 : 7 + m].astype(np.int32),
+            packed[7 + m : 7 + 2 * m] > 0.5,
+            packed[7 + 2 * m :] > 0.5,
         )
-        match_idx = np.asarray(m.index)  # per map point -> kp index
-        match_ok = np.asarray(m.valid)
-
-        obs = np.where(
-            match_ok[:, None], kp_norm[np.clip(match_idx, 0, None)], 0.0
-        )
-        res = _optimize_pose(
-            jnp.asarray(predicted),
-            jnp.asarray(self.points),
-            jnp.asarray(obs),
-            jnp.asarray(match_ok),
-        )
-        return res, match_idx, np.asarray(res.inliers), in_view
 
     def _track(self, kp_norm, desc, valid, frame_id, time_usec):
         predicted = self._compose(self._motion, self._pose)
-        res, match_idx, inliers, in_front = self._track_attempt(
-            predicted, kp_norm, desc, valid
+        new_pose, num_inliers, match_idx, inliers, in_front = (
+            self._track_attempt(predicted, kp_norm, desc, valid)
         )
-        num_inliers = int(res.num_inliers)
 
         if num_inliers < self.config.min_track_inliers:
             # Motion-model tracking failed: attempt relocalization from
@@ -539,9 +745,10 @@ class MonocularTracker:
             # reaches full tracking quality — a plausible-but-wrong pose
             # must never replace the state (it would poison the motion
             # model and lose the segment within a few frames).
+            points_dev, map_desc_dev, _ = self._device_map()
             reloc = relocalize(
-                jnp.asarray(self.points),
-                jnp.asarray(self.point_desc),
+                points_dev,
+                map_desc_dev,
                 jnp.asarray(self.point_valid),
                 jnp.asarray(kp_norm),
                 jnp.asarray(desc),
@@ -549,23 +756,30 @@ class MonocularTracker:
                 self._next_key(),
             )
             accepted = False
-            if int(reloc.num_inliers) >= max(8, self.config.min_track_inliers // 2):
+            # Array pull + host sum (never pull 0-d scalars, see
+            # fused_track_step).
+            reloc_inliers = int(np.asarray(reloc.inliers).sum())
+            if reloc_inliers >= max(8, self.config.min_track_inliers // 2):
                 # Locality is stale around a global relocalization: guided
                 # re-tracking (and tracking until the next keyframe rebuilds
                 # the window) runs against the whole map.
                 saved_local = self._local_points
                 self._local_points = self.point_valid.copy()
-                res2, match_idx2, inliers2, in_front2 = self._track_attempt(
-                    np.asarray(reloc.pose6), kp_norm, desc, valid
+                self._invalidate_device_map()
+                pose2, n2, match_idx2, inliers2, in_front2 = (
+                    self._track_attempt(
+                        np.asarray(reloc.pose6), kp_norm, desc, valid
+                    )
                 )
-                if int(res2.num_inliers) >= self.config.min_track_inliers:
-                    res, match_idx, inliers = res2, match_idx2, inliers2
+                if n2 >= self.config.min_track_inliers:
+                    new_pose, match_idx, inliers = pose2, match_idx2, inliers2
                     in_front = in_front2
-                    num_inliers = int(res2.num_inliers)
+                    num_inliers = n2
                     self._motion = np.zeros(6)  # motion model invalidated
                     accepted = True
                 else:
                     self._local_points = saved_local
+                    self._invalidate_device_map()
             if not accepted:
                 self.state = LOST
                 self._append_frame(
@@ -579,7 +793,6 @@ class MonocularTracker:
         self.point_visible[in_front] += 1
         self.point_found[inliers] += 1
 
-        new_pose = np.asarray(res.pose6)
         self._motion = self._pose_delta(self._pose, new_pose)
         self._pose = new_pose
         self._append_frame(frame_id, time_usec, new_pose)
@@ -595,8 +808,10 @@ class MonocularTracker:
             matched_points = np.nonzero(inliers)[0]
             kp_map[match_idx[matched_points]] = matched_points
             kf = Keyframe(
-                new_pose.copy(), kp_norm, desc, valid, kp_map, num_inliers,
-                kf_id=self._next_kf_id,
+                # Keyframes hold host copies (descriptors may be
+                # device-resident on the prefetch path until this point).
+                new_pose.copy(), kp_norm, np.asarray(desc), valid, kp_map,
+                num_inliers, kf_id=self._next_kf_id,
             )
             self._next_kf_id += 1
             self.keyframes.append(kf)
@@ -627,51 +842,30 @@ class MonocularTracker:
         un_curr = kf.kp_valid & (kf.map_point < 0)
         if un_prev.sum() < 8 or un_curr.sum() < 8:
             return
-        m = _match_descriptors(
-            jnp.asarray(prev.descriptors), jnp.asarray(kf.descriptors),
-            valid_a=jnp.asarray(un_prev), valid_b=jnp.asarray(un_curr),
-            max_distance=matching.HAMMING_LOW, ratio=0.85,
-        )
-        idx = np.asarray(m.index)
-        ok = np.asarray(m.valid)
-        rows = np.nonzero(ok)[0]
-        if rows.size == 0:
-            return
-
-        # Relative pose prev -> curr.
+        prev_desc_dev, _ = self.kf_descriptors_device(prev)
+        curr_desc_dev, _ = self.kf_descriptors_device(kf)
         delta = self._pose_delta(prev.pose6, kf.pose6)
-        r21 = np.asarray(rotvec_to_matrix(jnp.asarray(delta[:3])))
-        t21 = delta[3:]
-        p1 = prev.kp_norm[rows]
-        p2 = kf.kp_norm[idx[rows]]
-        pts_cam_prev = np.asarray(
-            _triangulate(jnp.asarray(r21), jnp.asarray(t21), jnp.asarray(p1), jnp.asarray(p2))
+        k = kf.kp_norm.shape[0]
+        packed = np.asarray(
+            fused_create_points(
+                prev_desc_dev,
+                jnp.asarray(un_prev),
+                jnp.asarray(prev.kp_norm),
+                curr_desc_dev,
+                jnp.asarray(un_curr),
+                jnp.asarray(kf.kp_norm),
+                jnp.asarray(delta),
+                jnp.asarray(prev.pose6),
+                min_parallax_cos=self.config.min_parallax_cos,
+            )
         )
-        # Filter: cheirality in both views, parallax, reprojection.
-        z1 = pts_cam_prev[:, 2]
-        cam2 = pts_cam_prev @ r21.T + t21
-        z2 = cam2[:, 2]
-        ray1 = pts_cam_prev / (np.linalg.norm(pts_cam_prev, axis=1, keepdims=True) + 1e-12)
-        c2_in_prev = -r21.T @ t21
-        ray2 = pts_cam_prev - c2_in_prev
-        ray2 /= np.linalg.norm(ray2, axis=1, keepdims=True) + 1e-12
-        parallax_cos = np.sum(ray1 * ray2, axis=1)
-        reproj1 = np.linalg.norm(pts_cam_prev[:, :2] / z1[:, None] - p1, axis=1)
-        reproj2 = np.linalg.norm(cam2[:, :2] / np.maximum(z2, 1e-9)[:, None] - p2, axis=1)
-        good = (
-            (z1 > 0.05) & (z2 > 0.05)
-            & (parallax_cos < self.config.min_parallax_cos)
-            & (reproj1 < 0.01) & (reproj2 < 0.01)
-            & np.all(np.isfinite(pts_cam_prev), axis=1)
-        )
-        rows = rows[good]
+        idx = packed[:k].astype(np.int32)
+        good = packed[k : 2 * k] > 0.5
+        pts_world_all = packed[2 * k :].reshape(k, 3).astype(np.float64)
+        rows = np.nonzero(good)[0]
         if rows.size == 0:
             return
-        pts_cam_prev = pts_cam_prev[good]
-
-        # To world frame via prev pose.
-        r_prev = np.asarray(rotvec_to_matrix(jnp.asarray(prev.pose6[:3])))
-        pts_world = (pts_cam_prev - prev.pose6[3:]) @ r_prev  # R^T (x - t)
+        pts_world = pts_world_all[rows]
 
         slots = self._free_slots(rows.size)
         take = len(slots)
@@ -725,25 +919,28 @@ class MonocularTracker:
         refs = kf.map_point[kf.map_point >= 0]
         observed[refs] = True
 
-        cam = np.asarray(
-            _transform(jnp.asarray(kf.pose6), jnp.asarray(self.points))
-        )
-        in_front = (cam[:, 2] > 0.05) & self.point_valid & ~observed
+        cand = self.point_valid & ~observed
         if not whole_map:
-            in_front &= self._local_points
-        if not in_front.any():
+            cand &= self._local_points
+        if not cand.any():
             return
-        proj = np.asarray(_project(jnp.asarray(cam)))
-        proj = np.where(in_front[:, None], proj, 1e3)
-        m = _match_projected(
-            jnp.asarray(self.point_desc), jnp.asarray(proj),
-            jnp.asarray(kf.descriptors), jnp.asarray(kf.kp_norm),
-            search_radius=self.config.fuse_search_radius,
-            valid_a=jnp.asarray(in_front), valid_b=jnp.asarray(kf.kp_valid),
-            max_distance=matching.HAMMING_LOW,
+        kf_desc_dev, _ = self.kf_descriptors_device(kf)
+        m = self.config.max_map_points
+        packed = np.asarray(
+            fused_project_match(
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_desc),
+                jnp.asarray(cand),
+                jnp.asarray(kf.pose6),
+                kf_desc_dev,
+                jnp.asarray(kf.kp_norm),
+                jnp.asarray(kf.kp_valid),
+                search_radius=self.config.fuse_search_radius,
+                max_distance=matching.HAMMING_LOW,
+            )
         )
-        match_idx = np.asarray(m.index)
-        match_ok = np.asarray(m.valid)
+        match_idx = packed[:m].astype(np.int32)
+        match_ok = packed[m:] > 0.5
         pids = np.nonzero(match_ok)[0]
         if pids.size == 0:
             return

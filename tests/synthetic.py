@@ -207,6 +207,7 @@ def render_parallax_video(
     fx: float = 250.0,
     seed: int = 7,
     dot_scale: float = 7.0 / 250.0,
+    period_frames: float = 0.0,
 ):
     """Render a curving drive through random textured billboards.
 
@@ -224,7 +225,10 @@ def render_parallax_video(
         axis=1,
     )
     shade = rng.integers(90, 255, num_points)
-    period = 1.25 * frames
+    # Lateral-swing period: any tracked SEGMENT must see a full 2-D sweep,
+    # or the trajectory-plane test (lambda3 > 1e-2 * lambda2,
+    # track_image_sequence.cc:85-92) rejects the near-collinear stretch.
+    period = period_frames or 1.25 * frames
     yaw_of = lambda t: 0.25 * np.cos(2 * np.pi * t / period)
     writer = cv2.VideoWriter(
         path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (width, height)
