@@ -92,7 +92,13 @@ def bench_fit_motion():
 
     from pilotguru_tpu.calib import FitMotionConfig, fit_motion_arrays
 
-    dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+    if jax.default_backend() == "cpu":
+        # Without x64 enabled, requested float64 arrays silently downcast to
+        # float32 and the CPU bench would not run at the precision it claims.
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
 
     rot_t, rates, acc_t, accs, gps_t, gps_v, duration = make_ride()
     config = FitMotionConfig(optimization_iters=30, dtype=dtype)

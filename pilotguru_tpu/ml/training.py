@@ -282,7 +282,10 @@ def train_models(
     log: List[TrainLogEvent] = []
     min_val_losses = np.full((num_nets,), np.inf)
     min_val_loss = np.inf
-    lr_scale = np.ones((num_nets,), np.float32)
+    # Seed from the incoming state so per-fold LR ratios installed by callers
+    # (e.g. hyperparams_search grouped folds) compose with plateau decay
+    # instead of being wiped back to 1.0 at the first epoch-end write-back.
+    lr_scale = np.asarray(state.lr_scale, np.float32).copy()
     plateau_counters = np.zeros((num_nets,), np.int64)
     if log_path:
         os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)

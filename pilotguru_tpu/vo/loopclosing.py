@@ -61,7 +61,9 @@ def detect_candidate(tracker, kf: Keyframe):
     them is just tracking, not a loop).
     """
     config = tracker.config
-    old = tracker.keyframes[: -config.loop_exclude_recent]
+    # [:-k] with k == 0 would slice to nothing; spell the bound explicitly so
+    # loop_exclude_recent == 0 means "consider every non-current keyframe".
+    old = tracker.keyframes[: len(tracker.keyframes) - config.loop_exclude_recent]
     if not old:
         return None
     # Stack the stored keyframes' device-resident descriptor copies

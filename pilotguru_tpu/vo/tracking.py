@@ -962,7 +962,18 @@ class MonocularTracker:
                 else (existing, pid)
             )
             for other in self.keyframes:
-                other.map_point[other.map_point == loser] = winner
+                loser_rows = other.map_point == loser
+                if not loser_rows.any():
+                    continue
+                # MapPoint::Replace drops the duplicate observation when the
+                # keyframe already sees the winner — redirecting would leave
+                # one keyframe observing the winner from two keypoints,
+                # double-counting it in _point_observations and feeding BA
+                # two conflicting observations.
+                if (other.map_point == winner).any():
+                    other.map_point[loser_rows] = -1
+                else:
+                    other.map_point[loser_rows] = winner
             self.point_found[winner] += self.point_found[loser]
             self.point_visible[winner] += self.point_visible[loser]
             self.point_valid[loser] = False
