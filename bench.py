@@ -224,13 +224,16 @@ def bench_vo():
     )
     m_cand = jnp.asarray(np.ones(4096, bool))
     pose = jnp.asarray(np.zeros(6, np.float32))
+    m_level = jnp.asarray(rng.integers(0, 8, size=4096).astype(np.int32))
     kp = kps.xy[0].astype(jnp.float32)
     kd = kps.descriptors[0]
     kv = kps.valid[0]
+    klevel = kps.level[0]
 
     def track():
         return fused_track_step(
-            m_pts, m_desc, m_cand, pose, kp, kd, kv,
+            m_pts, m_desc, m_cand, m_level,
+            pose, kp, kd, kv, klevel,
             search_radius=0.08, max_distance=100,
         )
 

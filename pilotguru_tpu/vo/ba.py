@@ -30,6 +30,10 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray  # [O, 2] normalized coordinates
     obs_valid: jnp.ndarray  # [O] bool
     point_valid: jnp.ndarray  # [M] bool
+    # Optional [O] inverse noise scale per observation (scale**-level of the
+    # observing keypoint) — the reference's per-level invSigma2 information
+    # matrix (Optimizer.cc:126-127). None means uniform.
+    obs_invsigma: jnp.ndarray = None
 
 
 class BAResult(NamedTuple):
@@ -82,9 +86,14 @@ def bundle_adjust(
     """Robust local BA: IRLS Huber reweighting around dense LM."""
     k = problem.poses6.shape[0]
     flat0 = jnp.concatenate([problem.poses6.ravel(), problem.points.ravel()])
+    invsigma = (
+        problem.obs_invsigma
+        if problem.obs_invsigma is not None
+        else jnp.ones_like(problem.obs_valid, problem.points.dtype)
+    )
     base_w = (
         problem.obs_valid & problem.point_valid[problem.obs_point]
-    ).astype(problem.points.dtype)
+    ).astype(problem.points.dtype) * invsigma
     gauge_anchor = problem.poses6[0]
     c0 = _camera_center(problem.poses6[0])
     c1 = _camera_center(problem.poses6[jnp.minimum(1, k - 1)])
@@ -107,7 +116,9 @@ def bundle_adjust(
     flat = flat0
     loss = jnp.asarray(0.0, flat.dtype)
     for _ in range(irls_rounds):
-        w = base_w * huber_weights(current_norms(flat), huber_delta)
+        # Huber and the inlier gate act on sigma-scaled norms so a coarse
+        # (high-level) observation is allowed proportionally more residual.
+        w = base_w * huber_weights(current_norms(flat) * invsigma, huber_delta)
         result = levenberg_marquardt(
             lambda f: _residuals(f, problem, w, gauge_anchor, anchor_dist),
             flat,
@@ -115,7 +126,7 @@ def bundle_adjust(
         )
         flat, loss = result.x, result.loss
 
-    norms = current_norms(flat)
+    norms = current_norms(flat) * invsigma
     inliers = (norms < inlier_threshold) & problem.obs_valid
     return BAResult(
         flat[: 6 * k].reshape(k, 6),

@@ -98,17 +98,36 @@ def match_projected(
     valid_b=None,
     max_distance: int = HAMMING_HIGH,
     ratio: float = 0.9,
+    level_a=None,
+    level_b=None,
+    scale: float = 1.2,
+    level_window: int = 2,
 ) -> Matches:
     """Window-constrained matching: candidates must lie within
     ``search_radius`` pixels (ORBmatcher::SearchByProjection semantics, as a
-    masked dense table instead of per-cell candidate lists)."""
+    masked dense table instead of per-cell candidate lists).
+
+    Octave-aware when ``level_a``/``level_b`` are given (ORBmatcher.cc:70-96
+    semantics): the search radius for row a scales with its pyramid level
+    (coarse features carry proportionally larger positional uncertainty),
+    and candidates must sit within ``level_window`` octaves of the row's
+    level (the reference searches [nPredictedLevel-1, nPredictedLevel+1]).
+    """
     dist = hamming_table(desc_a, desc_b, valid_a, valid_b)
     # d^2 via the ||a||^2 + ||b||^2 - 2ab expansion: one extra MXU matmul
     # instead of materializing a rank-3 [Na, Nb, 2] difference tensor.
     a2 = jnp.sum(xy_a * xy_a, axis=-1)
     b2 = jnp.sum(xy_b * xy_b, axis=-1)
     d2 = a2[:, None] + b2[None, :] - 2.0 * (xy_a @ xy_b.T)
-    dist = jnp.where(d2 <= search_radius**2, dist, DESCRIPTOR_BITS + 1)
+    if level_a is not None:
+        radius = search_radius * scale ** level_a.astype(xy_a.dtype)
+        in_window = d2 <= (radius**2)[:, None]
+        if level_b is not None:
+            level_gap = jnp.abs(level_a[:, None] - level_b[None, :])
+            in_window = in_window & (level_gap <= level_window)
+    else:
+        in_window = d2 <= search_radius**2
+    dist = jnp.where(in_window, dist, DESCRIPTOR_BITS + 1)
     best_idx = jnp.argmin(dist, axis=1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
     masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(
@@ -123,5 +142,51 @@ def match_projected(
     return Matches(
         index=jnp.where(ok, best_idx, -1).astype(jnp.int32),
         distance=best.astype(jnp.int32),
+        valid=ok,
+    )
+
+
+ROTATION_HISTO_BINS = 30  # ORBmatcher.cc HISTO_LENGTH
+ROTATION_KEEP_BINS = 3  # ComputeThreeMaxima keeps the 3 dominant bins
+
+
+def rotation_consistency(
+    angle_a,
+    angle_b,
+    matches: Matches,
+    bins: int = ROTATION_HISTO_BINS,
+    keep: int = ROTATION_KEEP_BINS,
+) -> Matches:
+    """Reject matches whose keypoint-orientation difference disagrees with
+    the dominant rotation (ORBmatcher.cc CheckOrientation, :171-174 and
+    ComputeThreeMaxima): all true matches between two views share one global
+    in-plane rotation, so their angle differences pile into a few histogram
+    bins while mismatches scatter uniformly. Keep only matches in the
+    ``keep`` most-populated bins (a bin must also hold >=10% of the best bin,
+    the reference's max2/max3 rule).
+
+    angle_a: [Na] radians (e.g. map-point creation angles or previous-frame
+    keypoint angles); angle_b: [Nb] current-frame keypoint angles.
+    """
+    idx = jnp.clip(matches.index, 0, None)
+    diff = angle_b[idx] - angle_a
+    two_pi = 2.0 * jnp.pi
+    frac = (diff / two_pi) % 1.0  # [0, 1)
+    bin_idx = jnp.clip((frac * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.int32).at[bin_idx].add(
+        matches.valid.astype(jnp.int32)
+    )
+    top_counts, top_bins = jax.lax.top_k(hist, keep)
+    # Secondary bins only count while they hold >= 0.1x the dominant bin.
+    keep_mask = top_counts.astype(jnp.float32) >= 0.1 * top_counts[0].astype(
+        jnp.float32
+    )
+    in_top = jnp.any(
+        (bin_idx[:, None] == top_bins[None, :]) & keep_mask[None, :], axis=1
+    )
+    ok = matches.valid & in_top
+    return Matches(
+        index=jnp.where(ok, matches.index, -1),
+        distance=matches.distance,
         valid=ok,
     )

@@ -64,21 +64,26 @@ def prefetch_features(
         kps = extract_orb_features_batch(
             jnp.asarray(np.stack(grays), jnp.float32),
             num_levels=config.num_levels,
+            scale=config.scale,
             total_budget=config.total_budget,
             threshold=config.fast_threshold,
         )
         xy = np.asarray(kps.xy)
         valid = np.asarray(kps.valid)
+        level = np.asarray(kps.level)
+        angle = np.asarray(kps.angle)
         for i in range(n):
             f = pending[i]
-            # Keypoints/validity come back to host (small, needed for
-            # bookkeeping); descriptors STAY on device — the per-frame
-            # matching consumes them there, and the tracker pulls a host
-            # copy only when a frame is promoted to keyframe.
+            # Keypoints/validity/levels/angles come back to host (small,
+            # needed for bookkeeping); descriptors STAY on device — the
+            # per-frame matching consumes them there, and the tracker pulls
+            # a host copy only when a frame is promoted to keyframe.
             f.features = (
                 camera.normalize(xy[i]),
                 kps.descriptors[i],
                 valid[i],
+                level[i],
+                angle[i],
             )
             yield f
         pending.clear()
@@ -163,6 +168,12 @@ def tracker_from_settings(
         fy=settings.fy * image_scale,
         cx=settings.cx * image_scale,
         cy=settings.cy * image_scale,
+        # Distortion coefficients act on the normalized plane, so they are
+        # invariant to image_scale (Frame.cc UndistortKeyPoints parity).
+        k1=settings.k1,
+        k2=settings.k2,
+        p1=settings.p1,
+        p2=settings.p2,
     )
     # Reference scale by default: 2000 features / 8 pyramid levels
     # (calibrate.cc:518-531); the camera YAML is the source of truth.
@@ -248,8 +259,11 @@ def track_video_segments(
             consumed += 1
             fed += 1
             if frame.features is not None:
+                kp_norm, desc, valid, *rest = frame.features
+                kp_level, kp_angle = rest if rest else (None, None)
                 state = tracker.process_features(
-                    *frame.features, frame.frame_id, frame.time_usec
+                    kp_norm, desc, valid, frame.frame_id, frame.time_usec,
+                    kp_level=kp_level, kp_angle=kp_angle,
                 )
             else:
                 state = tracker.process_frame(

@@ -105,16 +105,28 @@ def optimize_pose(
     inlier_threshold: float = 0.01,
     irls_rounds: int = 3,
     lm_iters: int = 10,
+    obs_invsigma=None,
 ) -> PoseOptimizationResult:
     """Robust pose-only refinement (PoseOptimization semantics: 4 rounds of
-    optimize + outlier reclassification become IRLS reweighting rounds)."""
+    optimize + outlier reclassification become IRLS reweighting rounds).
+
+    ``obs_invsigma``: optional [N] per-observation inverse noise scale. A
+    keypoint detected at pyramid level L carries positional noise
+    ~ scale**L (in level-0 units), so invsigma = scale**-L both downweights
+    coarse observations in the normal equations (the reference's invSigma2
+    information matrix, Optimizer.cc:126-127) and widens their effective
+    inlier gate (the reference's per-level chi2 thresholds): residual norms
+    are compared against the threshold AFTER scaling by invsigma.
+    """
     dtype = points_world.dtype
     pose = jnp.asarray(pose6_init, dtype)
-    base_w = valid.astype(dtype)
+    if obs_invsigma is None:
+        obs_invsigma = jnp.ones(observations.shape[:-1], dtype)
+    base_w = valid.astype(dtype) * obs_invsigma
 
     def round_body(pose, _):
         res = project(transform(pose, points_world)) - observations
-        norms = jnp.linalg.norm(res, axis=-1)
+        norms = jnp.linalg.norm(res, axis=-1) * obs_invsigma
         w = base_w * huber_weights(norms, huber_delta)
         result = levenberg_marquardt(
             lambda p: reprojection_residuals(
@@ -129,7 +141,7 @@ def optimize_pose(
 
     def classify(pose):
         res = project(transform(pose, points_world)) - observations
-        norms = jnp.linalg.norm(res, axis=-1)
+        norms = jnp.linalg.norm(res, axis=-1) * obs_invsigma
         cam_z = transform(pose, points_world)[..., 2]
         return valid & (norms < inlier_threshold) & (cam_z > 0)
 
@@ -137,7 +149,7 @@ def optimize_pose(
     # chi2 outliers between rounds rather than merely downweighting them,
     # Optimizer::PoseOptimization); Huber leaves a residual bias otherwise.
     inliers = classify(pose)
-    w_hard = inliers.astype(dtype)
+    w_hard = inliers.astype(dtype) * obs_invsigma
     result = levenberg_marquardt(
         lambda p: reprojection_residuals(
             p, points_world, observations, w_hard

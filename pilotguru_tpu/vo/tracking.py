@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,21 +135,35 @@ _project = jax.jit(project)
 
 @partial(
     jax.jit,
-    static_argnames=("search_radius", "max_distance"),
+    static_argnames=(
+        "search_radius", "max_distance", "scale", "level_window",
+    ),
 )
 def fused_track_step(
     points,  # [M, 3] map points (device-resident)
     point_desc,  # [M, 256]
     cand_mask,  # [M] bool — valid & local
+    point_level,  # [M] int32 — creating keypoint's pyramid level
     predicted,  # [6] pose guess
     kp_norm,  # [K, 2]
     kp_desc,  # [K, 256]
     kp_valid,  # [K] bool
+    kp_level,  # [K] int32
     search_radius: float,
     max_distance: int,
+    scale: float = 1.2,
+    level_window: int = 2,
 ):
     """One whole tracking attempt as a SINGLE device program: frustum test,
-    projected matching, robust pose refinement, and visibility statistics.
+    projected matching (octave-aware), robust pose refinement with
+    per-level information weights, and visibility stats.
+
+    No rotation-consistency filter here: the reference's map-point
+    SearchByProjection (TrackLocalMap) has no orientation histogram either
+    — a map point's creation-time angle drifts from the current frame's
+    keypoint angle as the viewpoint changes, so the check would steadily
+    reject true matches. Orientation checks apply only to frame<->frame /
+    frame<->keyframe matching (init, ref-KF track, triangulation).
 
     Through a remote-attached chip every dispatch pays the tunnel's
     round-trip latency, so the per-frame hot path must be one call with the
@@ -178,9 +192,20 @@ def fused_track_step(
         search_radius=search_radius,
         valid_a=in_front, valid_b=kp_valid,
         max_distance=max_distance,
+        level_a=point_level, level_b=kp_level,
+        scale=scale, level_window=level_window,
     )
-    obs = jnp.where(m.valid[:, None], kp_norm[jnp.clip(m.index, 0, None)], 0.0)
-    res = optimize_pose(predicted, points, obs, m.valid)
+    idx = jnp.clip(m.index, 0, None)
+    obs = jnp.where(m.valid[:, None], kp_norm[idx], 0.0)
+    # Information weights from the CURRENT frame's matched keypoint level
+    # (the reference weighs each edge by invSigma2 of the observing
+    # keypoint's octave, Optimizer.cc:126-127).
+    inv_s = jnp.where(
+        m.valid,
+        (1.0 / scale) ** kp_level[idx].astype(kp_norm.dtype),
+        1.0,
+    )
+    res = optimize_pose(predicted, points, obs, m.valid, obs_invsigma=inv_s)
     # ONE packed f32 result vector: every host<->device round trip costs
     # ~30 ms through the tunnel (and a 0-d scalar pull costs ~seconds), so
     # the whole per-frame result rides back in a single array pull —
@@ -199,26 +224,90 @@ def fused_track_step(
     return packed
 
 
-@partial(jax.jit, static_argnames=("min_parallax_cos",))
+@partial(jax.jit, static_argnames=("scale", "use_rotation_check"))
+def fused_ref_kf_track(
+    kf_points,  # [K, 3] map-point positions per reference-keyframe keypoint
+    kf_has_point,  # [K] bool — keypoint observes a valid map point
+    kf_desc,  # [K, 256]
+    kf_angle,  # [K]
+    kf_point_ids,  # [K] int32 — map-point slot per keypoint (or 0)
+    pose0,  # [6] starting pose (last tracked pose, NOT motion-extrapolated)
+    kp_norm,  # [Kc, 2] current frame
+    kp_desc,  # [Kc, 256]
+    kp_valid,  # [Kc] bool
+    kp_level,  # [Kc] int32
+    kp_angle,  # [Kc]
+    scale: float = 1.2,
+    use_rotation_check: bool = True,
+):
+    """TrackReferenceKeyFrame as ONE device program (Tracking.cc:317-323,
+    748 — tried when motion-model tracking fails, BEFORE relocalization):
+    descriptor-only matching against the reference keyframe's map-point
+    observations (the reference's SearchByBoW — no projection window, so a
+    wrong motion prediction cannot hide the true matches), then robust pose
+    refinement from the LAST pose. Packed result:
+    [pose6, num_inliers, point_id[Kc], inlier[Kc]] over CURRENT keypoints.
+    """
+    m = matching.match_descriptors(
+        kp_desc, kf_desc,
+        valid_a=kp_valid, valid_b=kf_has_point,
+        max_distance=matching.HAMMING_LOW, ratio=0.7,  # SearchByBoW mfNNratio
+    )
+    if use_rotation_check:
+        # Rows are CURRENT keypoints; m.index points into the reference
+        # keyframe, so the histogram is over (kf_angle[match] - kp_angle).
+        m = matching.rotation_consistency(kp_angle, kf_angle, m)
+    idx = jnp.clip(m.index, 0, None)
+    pts = kf_points[idx]
+    inv_s = jnp.where(
+        m.valid, (1.0 / scale) ** kp_level.astype(kp_norm.dtype), 1.0
+    )
+    res = optimize_pose(pose0, pts, kp_norm, m.valid, obs_invsigma=inv_s)
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            res.pose6.astype(f32),
+            res.num_inliers.astype(f32)[None],
+            jnp.where(m.valid, kf_point_ids[idx], -1).astype(f32),
+            res.inliers.astype(f32),
+        ]
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("min_parallax_cos", "scale", "use_rotation_check"),
+)
 def fused_create_points(
     prev_desc,  # [K, 256]
     prev_un,  # [K] bool — unmatched & valid in previous keyframe
     prev_kp,  # [K, 2]
+    prev_level,  # [K] int32
+    prev_angle,  # [K]
     curr_desc,  # [K, 256]
     curr_un,  # [K] bool
     curr_kp,  # [K, 2]
+    curr_level,  # [K] int32
+    curr_angle,  # [K]
     delta6,  # [6] prev->curr relative pose
     prev_pose6,  # [6] world->prev camera
     min_parallax_cos: float,
+    scale: float = 1.2,
+    use_rotation_check: bool = True,
 ):
     """LocalMapping::CreateNewMapPoints as ONE device program: descriptor
-    matching + two-view triangulation + cheirality/parallax/reprojection
-    gating + world-frame transform, returning a single packed result vector
-    (same tunnel-latency rationale as fused_track_step)."""
+    matching + rotation-consistency filter + two-view triangulation +
+    cheirality/parallax/reprojection gating + world-frame transform,
+    returning a single packed result vector (same tunnel-latency rationale
+    as fused_track_step). Reprojection gates scale with each observing
+    keypoint's pyramid level (the reference gates on per-octave chi2,
+    LocalMapping.cc CreateNewMapPoints)."""
     m = matching.match_descriptors(
         prev_desc, curr_desc, valid_a=prev_un, valid_b=curr_un,
         max_distance=matching.HAMMING_LOW, ratio=0.85,
     )
+    if use_rotation_check:
+        m = matching.rotation_consistency(prev_angle, curr_angle, m)
     idx = jnp.clip(m.index, 0, None)
     p1 = prev_kp
     p2 = curr_kp[idx]
@@ -239,11 +328,13 @@ def fused_create_points(
     reproj2 = jnp.linalg.norm(
         cam2[:, :2] / jnp.maximum(z2, 1e-9)[:, None] - p2, axis=1
     )
+    sigma1 = scale ** prev_level.astype(p1.dtype)
+    sigma2 = scale ** curr_level[idx].astype(p1.dtype)
     good = (
         m.valid
         & (z1 > 0.05) & (z2 > 0.05)
         & (parallax_cos < min_parallax_cos)
-        & (reproj1 < 0.01) & (reproj2 < 0.01)
+        & (reproj1 < 0.01 * sigma1) & (reproj2 < 0.01 * sigma2)
         & jnp.all(jnp.isfinite(pts_prev), axis=1)
     )
     r_prev = rotvec_to_matrix(prev_pose6[:3])
@@ -259,17 +350,24 @@ def fused_create_points(
     )
 
 
-@partial(jax.jit, static_argnames=("search_radius", "max_distance"))
+@partial(
+    jax.jit,
+    static_argnames=("search_radius", "max_distance", "scale", "level_window"),
+)
 def fused_project_match(
     points,  # [M, 3]
     point_desc,  # [M, 256]
     cand_mask,  # [M] bool
+    point_level,  # [M] int32
     pose6,  # [6]
     kp_desc,  # [K, 256]
     kp_norm,  # [K, 2]
     kp_valid,  # [K] bool
+    kp_level,  # [K] int32
     search_radius: float,
     max_distance: int,
+    scale: float = 1.2,
+    level_window: int = 2,
 ):
     """Project candidate map points into a keyframe and match (the fusion
     search), packed into one result pull: [match_idx M, ok M]."""
@@ -282,6 +380,8 @@ def fused_project_match(
         search_radius=search_radius,
         valid_a=in_front, valid_b=kp_valid,
         max_distance=max_distance,
+        level_a=point_level, level_b=kp_level,
+        scale=scale, level_window=level_window,
     )
     f32 = jnp.float32
     return jnp.concatenate([m.index.astype(f32), m.valid.astype(f32)])
@@ -293,12 +393,52 @@ class CameraModel:
     fy: float
     cx: float
     cy: float
+    # Radial/tangential lens distortion (OpenCV convention). The reference
+    # undistorts every keypoint before any geometry
+    # (thirdparty/orb-slam2/src/Frame.cc:408 UndistortKeyPoints) and its
+    # calibrate tool writes these for real phone lenses
+    # (src/calibrate.cc:508-516); k1 ~ -0.28 is typical, so skipping this
+    # biases every triangulation and turn angle on real rides.
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+    def has_distortion(self) -> bool:
+        return any(abs(c) > 1e-12 for c in (self.k1, self.k2, self.p1, self.p2))
+
+    def _undistort_normalized(self, xy):
+        """Invert the OpenCV distortion model on the normalized plane.
+
+        Fixed-point iteration (the cv2.undistortPoints scheme): start at the
+        distorted coordinates and repeatedly divide out the radial factor /
+        subtract the tangential shift. Convergence is geometric with rate
+        ~|d(radial)/dr * r|; at image corners of a k1 ~ -0.3 lens that is
+        ~0.5 per round, so 40 rounds reach float64 noise (cv2 uses the same
+        scheme with a 40-iteration cap). Runs on host once per frame over
+        ~2000 keypoints — vectorized numpy is microseconds.
+        """
+        xd = xy[..., 0]
+        yd = xy[..., 1]
+        x, y = xd, yd
+        for _ in range(40):
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (self.k1 + self.k2 * r2)
+            dx = 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+            dy = self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+            x = (xd - dx) / radial
+            y = (yd - dy) / radial
+        return np.stack([x, y], axis=-1)
 
     def normalize(self, xy):
-        return np.stack(
+        """Pixel -> undistorted normalized-plane coordinates."""
+        norm = np.stack(
             [(xy[..., 0] - self.cx) / self.fx, (xy[..., 1] - self.cy) / self.fy],
             axis=-1,
         )
+        if self.has_distortion():
+            norm = self._undistort_normalized(norm)
+        return norm
 
 
 @dataclass(frozen=True)
@@ -307,8 +447,26 @@ class TrackerConfig:
     # (/root/reference/src/calibrate.cc:518-531).
     total_budget: int = 2000
     num_levels: int = 8
+    scale: float = 1.2  # pyramid scale factor (ORBextractor_scaleFactor)
     fast_threshold: float = 20.0 / 255.0
     max_map_points: int = 4096
+    # Octave-aware matching (ORBmatcher mvScaleFactors semantics): search
+    # radii scale with the map point's creation level, candidates must sit
+    # within this many octaves, and residuals are information-weighted by
+    # the observing keypoint's level.
+    level_window: int = 2
+    # Rotation-consistency filtering (ORBmatcher CheckOrientation).
+    rotation_consistency: bool = True
+    # Monocular initialization matches only the finest pyramid levels
+    # (the reference's SearchForInitialization restricts to octave 0).
+    init_max_level: int = 0
+    # Minimum initial-map size below which init retries with ALL levels
+    # (the reference avoids this by doubling the init feature budget).
+    init_rich_points: int = 100
+    # TrackReferenceKeyFrame fallback before relocalization
+    # (Tracking.cc:317-323): descriptor-only re-track against the reference
+    # keyframe when motion-model tracking fails.
+    track_ref_kf_fallback: bool = True
     local_window: int = 6  # keyframes in local BA
     min_init_matches: int = 60
     min_init_inliers: int = 40
@@ -359,6 +517,16 @@ class FramePose:
         return -(r.T @ self.pose6[3:])
 
 
+class _FrameFeatures(NamedTuple):
+    """One frame's extracted features as fed to the tracker."""
+
+    kp_norm: np.ndarray  # [K, 2]
+    desc: np.ndarray  # [K, 256] (may be device-resident until keyframed)
+    valid: np.ndarray  # [K] bool
+    level: np.ndarray  # [K] int32
+    angle: np.ndarray  # [K] float32
+
+
 @dataclass
 class Keyframe:
     pose6: np.ndarray
@@ -368,6 +536,15 @@ class Keyframe:
     map_point: np.ndarray  # [K] int32 — map point index per keypoint or -1
     num_inliers: int = 0
     kf_id: int = -1  # stable id (survives keyframe culling)
+    kp_level: Optional[np.ndarray] = None  # [K] int32 pyramid level
+    kp_angle: Optional[np.ndarray] = None  # [K] orientation (radians)
+
+    def __post_init__(self):
+        k = self.kp_norm.shape[0]
+        if self.kp_level is None:
+            self.kp_level = np.zeros(k, np.int32)
+        if self.kp_angle is None:
+            self.kp_angle = np.zeros(k, np.float32)
 
 
 class MonocularTracker:
@@ -388,6 +565,12 @@ class MonocularTracker:
         self.points = np.zeros((m, 3), np.float64)
         self.point_desc = np.zeros((m, 256), np.uint8)
         self.point_valid = np.zeros((m,), bool)
+        # Creating observation's pyramid level and orientation: drive
+        # octave-aware search radii / level gating and the rotation-
+        # consistency filter (ORB-SLAM2 keeps these on MapPoint via its
+        # reference keypoint).
+        self.point_level = np.zeros((m,), np.int32)
+        self.point_angle = np.zeros((m,), np.float32)
         # Per-point statistics for LocalMapping-style maintenance.
         self.point_visible = np.zeros((m,), np.int32)  # frustum appearances
         self.point_found = np.zeros((m,), np.int32)  # tracked-inlier hits
@@ -428,6 +611,7 @@ class MonocularTracker:
             "points_dropped": 0,
             "keyframes_culled": 0,
             "loop_closures": 0,
+            "ref_kf_recoveries": 0,
         }
 
     def _invalidate_device_map(self):
@@ -441,6 +625,7 @@ class MonocularTracker:
                 jnp.asarray(self.points),
                 jnp.asarray(self.point_desc),
                 jnp.asarray(self.point_valid & self._local_points),
+                jnp.asarray(self.point_level),
             )
         return self._dev_map
 
@@ -449,6 +634,7 @@ class MonocularTracker:
         kps = extract_orb_features(
             jnp.asarray(gray, jnp.float32),
             num_levels=self.config.num_levels,
+            scale=self.config.scale,
             total_budget=self.config.total_budget,
             threshold=self.config.fast_threshold,
         )
@@ -456,6 +642,8 @@ class MonocularTracker:
             self.camera.normalize(np.asarray(kps.xy)),
             np.asarray(kps.descriptors),
             np.asarray(kps.valid),
+            np.asarray(kps.level),
+            np.asarray(kps.angle),
         )
 
     def _next_key(self):
@@ -548,17 +736,35 @@ class MonocularTracker:
 
     # ------------------------------------------------------------ lifecycle
     def process_frame(self, gray, frame_id: int, time_usec: int) -> str:
-        kp_norm, desc, valid = self._feature_fn(gray)
-        return self.process_features(kp_norm, desc, valid, frame_id, time_usec)
+        feats = self._feature_fn(gray)
+        kp_norm, desc, valid = feats[:3]
+        kp_level, kp_angle = (feats[3], feats[4]) if len(feats) > 3 else (None, None)
+        return self.process_features(
+            kp_norm, desc, valid, frame_id, time_usec,
+            kp_level=kp_level, kp_angle=kp_angle,
+        )
 
     def process_features(
-        self, kp_norm, desc, valid, frame_id: int, time_usec: int
+        self, kp_norm, desc, valid, frame_id: int, time_usec: int,
+        kp_level=None, kp_angle=None,
     ) -> str:
-        """Feed one frame's PRE-EXTRACTED features (batched-prefetch path)."""
+        """Feed one frame's PRE-EXTRACTED features (batched-prefetch path).
+
+        ``kp_level``/``kp_angle`` (pyramid level + orientation per keypoint)
+        drive octave-aware matching and rotation-consistency filtering; when
+        omitted (single-level test callers) both default to zeros, which
+        reduces every octave rule to a no-op.
+        """
+        k = kp_norm.shape[0]
+        if kp_level is None:
+            kp_level = np.zeros(k, np.int32)
+        if kp_angle is None:
+            kp_angle = np.zeros(k, np.float32)
+        frame = _FrameFeatures(kp_norm, desc, valid, kp_level, kp_angle)
         if self.state == NOT_INITIALIZED:
-            self._try_initialize(kp_norm, desc, valid, frame_id, time_usec)
+            self._try_initialize(frame, frame_id, time_usec)
         elif self.state == OK:
-            self._track(kp_norm, desc, valid, frame_id, time_usec)
+            self._track(frame, frame_id, time_usec)
         return self.state
 
     def _append_frame(self, frame_id, time_usec, pose6, is_lost=False):
@@ -595,33 +801,70 @@ class MonocularTracker:
         return out
 
     # ------------------------------------------------------- initialization
-    def _try_initialize(self, kp_norm, desc, valid, frame_id, time_usec):
+    def _try_initialize(self, frame: _FrameFeatures, frame_id, time_usec):
+        kp_norm, desc, valid = frame.kp_norm, frame.desc, frame.valid
         if self._init_frame is None:
-            self._init_frame = (kp_norm, desc, valid, frame_id, time_usec)
+            self._init_frame = (frame, frame_id, time_usec)
             return
-        kp0, d0, v0, fid0, t0 = self._init_frame
-        m = _match_descriptors(
-            jnp.asarray(d0), jnp.asarray(desc),
-            valid_a=jnp.asarray(v0), valid_b=jnp.asarray(valid),
-            max_distance=matching.HAMMING_LOW, ratio=0.9,
-        )
-        idx = np.asarray(m.index)
-        ok = np.asarray(m.valid)
+        prev, fid0, t0 = self._init_frame
+        kp0, d0, v0 = prev.kp_norm, prev.desc, prev.valid
+        # The reference initializes on octave-0 keypoints only
+        # (SearchForInitialization is called with minLevel=maxLevel=0):
+        # coarse-level corners carry several level-0 pixels of positional
+        # noise, which an essential-matrix fit amplifies into a bad map that
+        # poisons the whole segment. But the reference also DOUBLES its
+        # feature budget during init (Tracking.cc: mpIniORBextractor =
+        # ORBextractor(2*nFeatures, ...)) — our prefetched features keep one
+        # budget, so when the level-0 subset can't reach min_init_matches we
+        # fall back to all levels rather than starve initialization.
+        def match_levels(max_level):
+            lvl_ok0 = prev.level <= max_level
+            lvl_ok1 = frame.level <= max_level
+            m = _match_descriptors(
+                jnp.asarray(d0), jnp.asarray(desc),
+                valid_a=jnp.asarray(v0 & lvl_ok0),
+                valid_b=jnp.asarray(valid & lvl_ok1),
+                max_distance=matching.HAMMING_LOW, ratio=0.9,
+            )
+            if self.config.rotation_consistency:
+                m = matching.rotation_consistency(
+                    jnp.asarray(prev.angle), jnp.asarray(frame.angle), m
+                )
+            return np.asarray(m.index), np.asarray(m.valid)
+
+        def solve_two_view(idx, ok):
+            p1 = np.where(ok[:, None], kp0, 0.0)
+            p2 = np.where(ok[:, None], kp_norm[np.clip(idx, 0, None)], 0.0)
+            res = _two_view(
+                jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(ok),
+                self._next_key(),
+            )
+            return res, np.asarray(res.inliers)  # array pull, not 0-d
+
+        idx, ok = match_levels(self.config.init_max_level)
+        res, inl = (None, np.zeros(0, bool))
+        if ok.sum() >= self.config.min_init_matches:
+            res, inl = solve_two_view(idx, ok)
+        # Fall back to all pyramid levels when the level-0 map would start
+        # too thin to survive tracking (init_rich_points): quantity beats
+        # the level-0 noise hygiene once features are scarce.
+        if (
+            int(inl.sum()) < self.config.init_rich_points
+            and self.config.init_max_level < self.config.num_levels - 1
+        ):
+            idx2, ok2 = match_levels(self.config.num_levels - 1)
+            if ok2.sum() >= self.config.min_init_matches:
+                res2, inl2 = solve_two_view(idx2, ok2)
+                if int(inl2.sum()) > int(inl.sum()):
+                    idx, ok, res, inl = idx2, ok2, res2, inl2
         if ok.sum() < self.config.min_init_matches:
             self._init_attempts += 1
             if self._init_attempts > 5:
                 # Reference resets the initial frame when matching keeps
                 # failing (Tracking::MonocularInitialization).
-                self._init_frame = (kp_norm, desc, valid, frame_id, time_usec)
+                self._init_frame = (frame, frame_id, time_usec)
                 self._init_attempts = 0
             return
-
-        p1 = np.where(ok[:, None], kp0, 0.0)
-        p2 = np.where(ok[:, None], kp_norm[np.clip(idx, 0, None)], 0.0)
-        res = _two_view(
-            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(ok), self._next_key()
-        )
-        inl = np.asarray(res.inliers)  # array pull; 0-d pulls are slow
         if int(inl.sum()) < self.config.min_init_inliers:
             self._init_attempts += 1
             return
@@ -643,9 +886,12 @@ class MonocularTracker:
         slots = self._free_slots(n_new)
         src_rows = np.nonzero(inl)[0]
         src_rows = src_rows[: len(slots)]
+        dst_rows = idx[src_rows]
         self.points[slots] = pts[src_rows]
-        self.point_desc[slots] = desc[np.clip(idx[src_rows], 0, None)]
+        self.point_desc[slots] = desc[np.clip(dst_rows, 0, None)]
         self.point_valid[slots] = True
+        self.point_level[slots] = frame.level[np.clip(dst_rows, 0, None)]
+        self.point_angle[slots] = frame.angle[np.clip(dst_rows, 0, None)]
         self.point_visible[slots] = 2
         self.point_found[slots] = 2
         # Created "at" the second init keyframe (the reference's
@@ -665,8 +911,12 @@ class MonocularTracker:
         kf1_map[idx[src_rows]] = slots
 
         self.keyframes = [
-            Keyframe(pose0, kp0, d0, v0, kf0_map, n_new, kf_id=0),
-            Keyframe(pose1, kp_norm, desc, valid, kf1_map, n_new, kf_id=1),
+            Keyframe(pose0, kp0, d0, v0, kf0_map, n_new, kf_id=0,
+                     kp_level=np.asarray(prev.level, np.int32),
+                     kp_angle=np.asarray(prev.angle, np.float32)),
+            Keyframe(pose1, kp_norm, desc, valid, kf1_map, n_new, kf_id=1,
+                     kp_level=np.asarray(frame.level, np.int32),
+                     kp_angle=np.asarray(frame.angle, np.float32)),
         ]
         self._next_kf_id = 2
         for new_kf in self.keyframes:
@@ -703,23 +953,27 @@ class MonocularTracker:
         return np.concatenate([np_matrix_to_rotvec(r), t])
 
     # --------------------------------------------------------------- track
-    def _track_attempt(self, predicted, kp_norm, desc, valid):
+    def _track_attempt(self, predicted, frame: _FrameFeatures):
         """Projected matching + robust pose refinement around a pose guess
         (SearchByProjection + PoseOptimization analogue) — ONE fused device
         call against the HBM-resident map (see fused_track_step). Returns
         (pose6, num_inliers, match_idx, inliers, in_view) as host values."""
-        points_dev, desc_dev, cand_dev = self._device_map()
+        points_dev, desc_dev, cand_dev, level_dev = self._device_map()
         packed = np.asarray(
             fused_track_step(
                 points_dev,
                 desc_dev,
                 cand_dev,
+                level_dev,
                 jnp.asarray(predicted),
-                jnp.asarray(kp_norm),
-                jnp.asarray(desc),
-                jnp.asarray(valid),
+                jnp.asarray(frame.kp_norm),
+                jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid),
+                jnp.asarray(frame.level),
                 search_radius=self.config.match_search_radius,
                 max_distance=matching.HAMMING_HIGH,
+                scale=self.config.scale,
+                level_window=self.config.level_window,
             )
         )
         m = self.config.max_map_points
@@ -731,28 +985,89 @@ class MonocularTracker:
             packed[7 + 2 * m :] > 0.5,
         )
 
-    def _track(self, kp_norm, desc, valid, frame_id, time_usec):
+    def _track_reference_keyframe(self, frame: _FrameFeatures):
+        """TrackReferenceKeyFrame (Tracking.cc:317-323, 748): descriptor-only
+        matching against the newest keyframe's map-point observations, pose
+        refined from the LAST pose (no motion extrapolation). Returns a
+        candidate pose6 or None."""
+        kf = self.keyframes[-1]
+        has_point = (kf.map_point >= 0) & kf.kp_valid
+        has_point &= self.point_valid[np.clip(kf.map_point, 0, None)]
+        if has_point.sum() < 8:
+            return None
+        kf_desc_dev, _ = self.kf_descriptors_device(kf)
+        kc = frame.kp_norm.shape[0]
+        packed = np.asarray(
+            fused_ref_kf_track(
+                jnp.asarray(self.points[np.clip(kf.map_point, 0, None)]),
+                jnp.asarray(has_point),
+                kf_desc_dev,
+                jnp.asarray(kf.kp_angle),
+                jnp.asarray(kf.map_point),
+                jnp.asarray(self._pose),
+                jnp.asarray(frame.kp_norm),
+                jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid),
+                jnp.asarray(frame.level),
+                jnp.asarray(frame.angle),
+                scale=self.config.scale,
+                use_rotation_check=self.config.rotation_consistency,
+            )
+        )
+        num_inliers = int(packed[6])
+        # Reference accepts TrackReferenceKeyFrame at >=10 inliers
+        # (Tracking.cc TrackReferenceKeyFrame: nmatchesMap >= 10); the pose
+        # still has to survive guided local-map re-tracking afterwards.
+        if num_inliers < max(10, self.config.min_track_inliers // 2):
+            return None
+        return packed[:6].astype(np.float64)
+
+    def _track(self, frame: _FrameFeatures, frame_id, time_usec):
         predicted = self._compose(self._motion, self._pose)
         new_pose, num_inliers, match_idx, inliers, in_front = (
-            self._track_attempt(predicted, kp_norm, desc, valid)
+            self._track_attempt(predicted, frame)
         )
 
+        if (
+            num_inliers < self.config.min_track_inliers
+            and self.config.track_ref_kf_fallback
+        ):
+            # Motion-model tracking failed — retry against the reference
+            # keyframe BEFORE relocalization (Tracking.cc:317-323): a wrong
+            # motion prediction hides true matches behind the projection
+            # window, while descriptor-only matching against the newest
+            # keyframe cannot be fooled by it. An accepted ref-KF pose is
+            # then polished by guided local-map re-tracking.
+            ref_pose = self._track_reference_keyframe(frame)
+            if ref_pose is not None:
+                pose2, n2, match_idx2, inliers2, in_front2 = (
+                    self._track_attempt(ref_pose, frame)
+                )
+                if n2 >= self.config.min_track_inliers:
+                    new_pose, match_idx, inliers = pose2, match_idx2, inliers2
+                    in_front = in_front2
+                    num_inliers = n2
+                    # The motion model is stale (it just failed); restart it
+                    # from the recovered pose delta.
+                    self._motion = self._pose_delta(self._pose, new_pose)
+                    self.stats["ref_kf_recoveries"] += 1
+
         if num_inliers < self.config.min_track_inliers:
-            # Motion-model tracking failed: attempt relocalization from
-            # scratch against the whole map before falling to LOST
-            # (Tracking.cc: Relocalization() precedes the LOST state). A
-            # relocalized pose only counts if GUIDED re-tracking around it
-            # reaches full tracking quality — a plausible-but-wrong pose
-            # must never replace the state (it would poison the motion
-            # model and lose the segment within a few frames).
-            points_dev, map_desc_dev, _ = self._device_map()
+            # Attempt relocalization from scratch against the whole map
+            # before falling to LOST (Tracking.cc: Relocalization() precedes
+            # the LOST state). A relocalized pose only counts if GUIDED
+            # re-tracking around it reaches full tracking quality — a
+            # plausible-but-wrong pose must never replace the state (it
+            # would poison the motion model and lose the segment within a
+            # few frames).
+            points_dev, map_desc_dev, *_ = self._device_map()
             reloc = relocalize(
                 points_dev,
                 map_desc_dev,
                 jnp.asarray(self.point_valid),
-                jnp.asarray(kp_norm),
-                jnp.asarray(desc),
-                jnp.asarray(valid),
+                jnp.asarray(frame.kp_norm),
+                jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid),
                 self._next_key(),
             )
             accepted = False
@@ -767,9 +1082,7 @@ class MonocularTracker:
                 self._local_points = self.point_valid.copy()
                 self._invalidate_device_map()
                 pose2, n2, match_idx2, inliers2, in_front2 = (
-                    self._track_attempt(
-                        np.asarray(reloc.pose6), kp_norm, desc, valid
-                    )
+                    self._track_attempt(np.asarray(reloc.pose6), frame)
                 )
                 if n2 >= self.config.min_track_inliers:
                     new_pose, match_idx, inliers = pose2, match_idx2, inliers2
@@ -804,14 +1117,16 @@ class MonocularTracker:
             or self._frames_since_keyframe >= self.config.keyframe_max_gap
         )
         if need_keyframe:
-            kp_map = np.full(kp_norm.shape[0], -1, np.int32)
+            kp_map = np.full(frame.kp_norm.shape[0], -1, np.int32)
             matched_points = np.nonzero(inliers)[0]
             kp_map[match_idx[matched_points]] = matched_points
             kf = Keyframe(
                 # Keyframes hold host copies (descriptors may be
                 # device-resident on the prefetch path until this point).
-                new_pose.copy(), kp_norm, np.asarray(desc), valid, kp_map,
-                num_inliers, kf_id=self._next_kf_id,
+                new_pose.copy(), frame.kp_norm, np.asarray(frame.desc),
+                frame.valid, kp_map, num_inliers, kf_id=self._next_kf_id,
+                kp_level=np.asarray(frame.level, np.int32),
+                kp_angle=np.asarray(frame.angle, np.float32),
             )
             self._next_kf_id += 1
             self.keyframes.append(kf)
@@ -851,12 +1166,18 @@ class MonocularTracker:
                 prev_desc_dev,
                 jnp.asarray(un_prev),
                 jnp.asarray(prev.kp_norm),
+                jnp.asarray(prev.kp_level),
+                jnp.asarray(prev.kp_angle),
                 curr_desc_dev,
                 jnp.asarray(un_curr),
                 jnp.asarray(kf.kp_norm),
+                jnp.asarray(kf.kp_level),
+                jnp.asarray(kf.kp_angle),
                 jnp.asarray(delta),
                 jnp.asarray(prev.pose6),
                 min_parallax_cos=self.config.min_parallax_cos,
+                scale=self.config.scale,
+                use_rotation_check=self.config.rotation_consistency,
             )
         )
         idx = packed[:k].astype(np.int32)
@@ -872,6 +1193,8 @@ class MonocularTracker:
         self.points[slots] = pts_world[:take]
         self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
         self.point_valid[slots] = True
+        self.point_level[slots] = kf.kp_level[idx[rows[:take]]]
+        self.point_angle[slots] = kf.kp_angle[idx[rows[:take]]]
         self.point_visible[slots] = 1
         self.point_found[slots] = 1
         self.point_first_kf[slots] = kf.kf_id
@@ -931,12 +1254,16 @@ class MonocularTracker:
                 jnp.asarray(self.points),
                 jnp.asarray(self.point_desc),
                 jnp.asarray(cand),
+                jnp.asarray(self.point_level),
                 jnp.asarray(kf.pose6),
                 kf_desc_dev,
                 jnp.asarray(kf.kp_norm),
                 jnp.asarray(kf.kp_valid),
+                jnp.asarray(kf.kp_level),
                 search_radius=self.config.fuse_search_radius,
                 max_distance=matching.HAMMING_LOW,
+                scale=self.config.scale,
+                level_window=self.config.level_window,
             )
         )
         match_idx = packed[:m].astype(np.int32)
@@ -1032,7 +1359,8 @@ class MonocularTracker:
         )
 
     def _windowed_bundle_adjust(self, window, pad_poses_to=None):
-        obs_pose, obs_point, obs_uv = [], [], []
+        obs_pose, obs_point, obs_uv, obs_invs = [], [], [], []
+        inv_scale = 1.0 / self.config.scale
         point_ids = {}
         for ki, kf in enumerate(window):
             kp_rows = np.nonzero(kf.map_point >= 0)[0]
@@ -1044,6 +1372,9 @@ class MonocularTracker:
                 obs_pose.append(ki)
                 obs_point.append(local_pid)
                 obs_uv.append(kf.kp_norm[row])
+                # Per-level information weight (Optimizer.cc:126-127): an
+                # observation from pyramid level L carries sigma ~ scale**L.
+                obs_invs.append(inv_scale ** int(kf.kp_level[row]))
         if len(point_ids) < 10 or len(obs_uv) < 30:
             return
         pids = np.asarray(sorted(point_ids, key=point_ids.get))
@@ -1076,6 +1407,8 @@ class MonocularTracker:
         o_point[: len(obs_point)] = obs_point
         o_uv[: len(obs_uv)] = np.stack(obs_uv)
         o_valid[: len(obs_uv)] = True
+        o_invs = np.ones(num_o)
+        o_invs[: len(obs_invs)] = obs_invs
 
         problem = BAProblem(
             jnp.asarray(poses),
@@ -1085,6 +1418,7 @@ class MonocularTracker:
             jnp.asarray(o_uv),
             jnp.asarray(o_valid),
             jnp.asarray(point_valid),
+            jnp.asarray(o_invs),
         )
         result = _bundle_adjust(problem)
         new_poses = np.asarray(result.poses6)

@@ -208,15 +208,19 @@ def render_parallax_video(
     seed: int = 7,
     dot_scale: float = 7.0 / 250.0,
     period_frames: float = 0.0,
+    distortion: tuple = (0.0, 0.0, 0.0, 0.0),
 ):
     """Render a curving drive through random textured billboards.
 
     Returns (fx, fy, cx, cy, true_yaw_rate_per_frame). The camera follows a
     planar curving path (so the PCA flatness test accepts the trajectory),
-    with yaw following the path direction.
+    with yaw following the path direction. ``distortion`` = (k1, k2, p1, p2)
+    applies the OpenCV radial/tangential lens model to the projection, so
+    the tracker's keypoint undistortion path is exercised end to end.
     """
     import cv2
 
+    k1, k2, p1, p2 = distortion
     rng = np.random.default_rng(seed)
     cx, cy = width / 2.0, height / 2.0
     pts = np.stack(
@@ -244,7 +248,15 @@ def render_parallax_video(
             x, y, z = local[i]
             if z < 0.5:
                 continue
-            u, v = fx * x / z + cx, fx * y / z + cy
+            xn, yn = x / z, y / z
+            if k1 or k2 or p1 or p2:
+                r2 = xn * xn + yn * yn
+                radial = 1.0 + k1 * r2 + k2 * r2 * r2
+                xn, yn = (
+                    xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn),
+                    yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn,
+                )
+            u, v = fx * xn + cx, fx * yn + cy
             # Billboard size scales with focal length so the rendered
             # texture has comparable pixel footprint at any resolution.
             r = max(int(round(dot_scale * fx / z)), 1)

@@ -358,3 +358,52 @@ class TestFlatten:
         dirs = project_directions(q, plane)
         assert dirs.shape == (20, 2)
         assert (np.linalg.norm(dirs, axis=1) <= 1.0 + 1e-9).all()
+
+
+class TestCameraModel:
+    def test_undistort_matches_cv2(self):
+        """CameraModel.normalize must invert the OpenCV distortion model.
+
+        Oracle: cv2.undistortPoints on a grid of pixels, with typical
+        smartphone coefficients (Frame.cc:408 UndistortKeyPoints parity).
+        """
+        import cv2
+
+        from pilotguru_tpu.vo.tracking import CameraModel
+
+        fx, fy, cx, cy = 700.0, 705.0, 640.0, 360.0
+        k1, k2, p1, p2 = -0.28, 0.07, 1.5e-3, -8e-4
+        cam = CameraModel(fx, fy, cx, cy, k1=k1, k2=k2, p1=p1, p2=p2)
+
+        xs = np.linspace(40.0, 1240.0, 13)
+        ys = np.linspace(40.0, 680.0, 9)
+        gx, gy = np.meshgrid(xs, ys)
+        pix = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+
+        got = cam.normalize(pix)
+
+        # True invariant: forward-distorting the result must land exactly on
+        # the input pixels. (cv2.undistortPoints' default 5-iteration scheme
+        # leaves ~0.04 px roundtrip error at the corners of this lens, so it
+        # is only a loose convention oracle, checked second.)
+        x, y = got[..., 0], got[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        roundtrip = np.stack([xd * fx + cx, yd * fy + cy], axis=-1)
+        np.testing.assert_allclose(roundtrip, pix, atol=1e-9)
+
+        k_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        dist = np.array([k1, k2, p1, p2])
+        want = cv2.undistortPoints(
+            pix.reshape(-1, 1, 2).astype(np.float64), k_mat, dist
+        ).reshape(-1, 2)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_zero_distortion_is_pure_pinhole(self):
+        from pilotguru_tpu.vo.tracking import CameraModel
+
+        cam = CameraModel(500.0, 500.0, 320.0, 240.0)
+        pix = np.array([[320.0, 240.0], [820.0, 740.0]])
+        np.testing.assert_allclose(cam.normalize(pix), [[0, 0], [1, 1]])

@@ -231,9 +231,16 @@ class TestPrefetchFeatures:
 
 
 class TestOpticalTrajectoriesCli:
-    def test_end_to_end_on_rendered_video(self, tmp_path):
+    @pytest.mark.parametrize(
+        "distortion", [(0.0, 0.0, 0.0, 0.0), (-0.25, 0.05, 0.0, 0.0)],
+        ids=["pinhole", "distorted"],
+    )
+    def test_end_to_end_on_rendered_video(self, tmp_path, distortion):
         """Full CLI on a rendered parallax drive: one accepted segment whose
-        angular velocities track the rendered yaw rate."""
+        angular velocities track the rendered yaw rate. The distorted
+        variant renders through a k1=-0.25 lens and relies on keypoint
+        undistortion (Frame.cc:408 UndistortKeyPoints parity) to recover
+        the same correlation."""
         import cv2
 
         from pilotguru_tpu.cli import optical_trajectories
@@ -241,14 +248,17 @@ class TestOpticalTrajectoriesCli:
         from tests.synthetic import render_parallax_video
 
         video = str(tmp_path / "video.mp4")
-        fx, fy, cx, cy, true_rates = render_parallax_video(video)
+        fx, fy, cx, cy, true_rates = render_parallax_video(
+            video, distortion=distortion
+        )
+        k1, k2, p1, p2 = distortion
 
         yaml_path = str(tmp_path / "camera.yaml")
         fs = cv2.FileStorage(yaml_path, cv2.FILE_STORAGE_WRITE)
         for key, value in [
             ("Camera_fx", fx), ("Camera_fy", fy), ("Camera_cx", cx),
-            ("Camera_cy", cy), ("Camera_k1", 0.0), ("Camera_k2", 0.0),
-            ("Camera_p1", 0.0), ("Camera_p2", 0.0), ("Camera_fps", 30.0),
+            ("Camera_cy", cy), ("Camera_k1", k1), ("Camera_k2", k2),
+            ("Camera_p1", p1), ("Camera_p2", p2), ("Camera_fps", 30.0),
             ("ORBextractor_nFeatures", 600), ("ORBextractor_scaleFactor", 1.2),
             ("ORBextractor_nLevels", 3), ("ORBextractor_iniThFAST", 20),
             ("ORBextractor_minThFAST", 7),
