@@ -3,9 +3,9 @@
 Flag-compatible with the reference binary
 (/root/reference/src/optical_trajectories.cc:36-62). Differences:
 --vocabulary_file is accepted and ignored (DBoW2 vocabulary indexing is
-replaced by exhaustive MXU descriptor matching); --visualize and
---output_per_segment_videos are not yet implemented (rendering lands with
-the render tools).
+replaced by exhaustive MXU descriptor matching); --visualize writes an
+offline overlay video per segment (tracked features + status) instead of
+the reference's live Pangolin windows (headless image).
 """
 
 from __future__ import annotations
@@ -25,6 +25,24 @@ def main(argv=None):
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--vertical_flip", action="store_true")
     parser.add_argument("--horizontal_flip", action="store_true")
+    parser.add_argument(
+        "--visualize",
+        action="store_true",
+        help=(
+            "Write a visualize-NNNN.mp4 overlay video per segment (tracked "
+            "features + tracker status) — offline stand-in for the "
+            "reference's live viewer (optical_trajectories.cc:47)."
+        ),
+    )
+    parser.add_argument(
+        "--output_per_segment_videos",
+        action="store_true",
+        help=(
+            "Write trajectory-NNNN.mp4 per tracked segment; JSON frame ids "
+            "then index into the segment video "
+            "(optical_trajectories.cc:53-57)."
+        ),
+    )
     parser.add_argument("--rotation_smooth_sigma", type=int, default=0)
     parser.add_argument(
         "--image_scale",
@@ -52,6 +70,8 @@ def main(argv=None):
         args.out_dir,
         rotation_smooth_sigma=args.rotation_smooth_sigma,
         image_scale=args.image_scale,
+        per_segment_videos=args.output_per_segment_videos,
+        visualize=args.visualize,
     )
     print(f"{segments} trajectory segment(s) from {consumed} frames")
     return 0

@@ -21,6 +21,7 @@ from pilotguru_tpu.vo.camera import CameraSettings
 from pilotguru_tpu.vo.flatten import flatten_trajectory
 from pilotguru_tpu.vo.tracking import (
     LOST,
+    OK,
     CameraModel,
     MonocularTracker,
     TrackerConfig,
@@ -42,6 +43,7 @@ def prefetch_features(
     camera,
     config,
     batch_size: int = 8,
+    devices=None,
 ) -> Iterator[VideoFrame]:
     """Attach ORB features to frames, extracted in whole-batch device calls.
 
@@ -49,10 +51,31 @@ def prefetch_features(
     batching it amortizes dispatch latency and keeps the chip busy; one
     host transfer moves the whole batch's keypoints back. Short tail
     batches are padded by repetition (results sliced away).
+
+    Extraction is the embarrassingly-parallel half of VO (SURVEY section
+    2.8): with multiple devices the frame batch is sharded over a 1-D
+    ("frames",) mesh and the vmapped extractor partitions cleanly — each
+    device runs its frames' pyramids with zero collectives, and only the
+    fixed-size keypoint arrays gather back. ``devices``: explicit device
+    list (defaults to all local devices; single-device keeps the plain
+    path). batch_size is rounded up to a device-count multiple by the
+    existing tail padding.
     """
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from pilotguru_tpu.vo.features import extract_orb_features_batch
+
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_dev > 1:
+        batch_size = -(-batch_size // n_dev) * n_dev
+        frames_mesh = Mesh(np.array(devices), ("frames",))
+        batch_sharding = NamedSharding(frames_mesh, P("frames", None, None))
+    else:
+        batch_sharding = None
 
     pending: list[VideoFrame] = []
 
@@ -61,8 +84,11 @@ def prefetch_features(
         grays = [f.gray for f in pending]
         while len(grays) < batch_size:  # pad tail batch, reuse compile
             grays.append(grays[-1])
+        stacked = jnp.asarray(np.stack(grays), jnp.float32)
+        if batch_sharding is not None:
+            stacked = jax.device_put(stacked, batch_sharding)
         kps = extract_orb_features_batch(
-            jnp.asarray(np.stack(grays), jnp.float32),
+            stacked,
             num_levels=config.num_levels,
             scale=config.scale,
             total_budget=config.total_budget,
@@ -221,6 +247,35 @@ def postprocess_segment(
     return trajectory
 
 
+def _overlay_frame(gray, tracker, frame, state):
+    """Render the tracked-feature overlay for one frame (headless stand-in
+    for the reference's live FrameDrawer window): detected keypoints as
+    dots, map-point inlier tracks as circles, plus a status line."""
+    import cv2
+
+    img = cv2.cvtColor((gray * 255.0).astype(np.uint8), cv2.COLOR_GRAY2BGR)
+    if frame.features is not None:
+        kp_norm, _, valid, *_ = frame.features
+        pix = tracker.camera.denormalize(np.asarray(kp_norm))
+        h, w = gray.shape
+        for x, y in pix[np.asarray(valid)]:
+            if 0 <= x < w and 0 <= y < h:
+                cv2.circle(img, (int(x), int(y)), 1, (0, 160, 0), -1)
+        rows = tracker.last_track_kp_rows
+        if state == OK and rows.size:
+            for x, y in pix[rows]:
+                if 0 <= x < w and 0 <= y < h:
+                    cv2.circle(img, (int(x), int(y)), 4, (0, 0, 230), 1)
+    text = (
+        f"f{frame.frame_id} {state} inl={tracker.last_track_kp_rows.size} "
+        f"map={int(tracker.point_valid.sum())} kfs={len(tracker.keyframes)}"
+    )
+    cv2.putText(
+        img, text, (8, 18), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1
+    )
+    return img
+
+
 def track_video_segments(
     frames: Iterator[VideoFrame],
     settings: CameraSettings,
@@ -229,6 +284,9 @@ def track_video_segments(
     image_scale: float = 1.0,
     make_tracker=None,
     feature_batch_size: int = 8,
+    per_segment_videos: bool = False,
+    visualize: bool = False,
+    fps: float = 30.0,
 ) -> Tuple[int, int]:
     """Segment loop (optical_trajectories.cc:91-111): fresh tracker per
     segment, restart after LOST, one JSON per valid segment.
@@ -236,6 +294,19 @@ def track_video_segments(
     With the default tracker, features are prefetched in device batches of
     ``feature_batch_size`` (pass 0 to disable). Returns (segments_written,
     frames_consumed).
+
+    ``per_segment_videos`` writes trajectory-NNNN.mp4 next to each
+    trajectory JSON containing exactly the OK-tracked frames, and remaps
+    the JSON frame ids to index into that video (the reference's
+    --output_per_segment_videos, optical_trajectories.cc:53-57 +
+    track_image_sequence.cc:58-60,103-104: the sink consumes OK-state
+    frames and frame_id_offset is the first tracked frame id; trajectory
+    entries before the first OK frame — the initialization reference frame
+    — are dropped since they have no frame in the segment video).
+
+    ``visualize`` writes a visualize-NNNN.mp4 overlay per segment (tracked
+    keypoints + status) — the headless stand-in for the reference's live
+    Pangolin/FrameDrawer windows (--visualize).
     """
     os.makedirs(out_dir, exist_ok=True)
     if make_tracker is None:
@@ -246,11 +317,19 @@ def track_video_segments(
                 frames, probe.camera, probe.config, feature_batch_size
             )
     segment = 0
+    raw_segment = 0  # includes segments later rejected (video file naming)
     consumed = 0
     exhausted = False
     while not exhausted:
         tracker = make_tracker()
         fed = 0
+        first_ok_fid = None
+        seg_writer = None
+        viz_writer = None
+        seg_video_path = None
+        viz_video_path = None
+        if per_segment_videos or visualize:
+            import cv2  # noqa: F401 — fail early, before tracking starts
         while True:
             frame = next(frames, None)
             if frame is None:
@@ -269,18 +348,98 @@ def track_video_segments(
                 state = tracker.process_frame(
                     frame.gray, frame.frame_id, frame.time_usec
                 )
+            if state == OK:
+                if first_ok_fid is None:
+                    first_ok_fid = frame.frame_id
+                if per_segment_videos:
+                    import cv2
+
+                    if seg_writer is None:
+                        seg_video_path = os.path.join(
+                            out_dir, f"trajectory-{raw_segment:04d}.mp4"
+                        )
+                        h, w = frame.gray.shape
+                        seg_writer = cv2.VideoWriter(
+                            seg_video_path,
+                            cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
+                        )
+                    seg_writer.write(
+                        cv2.cvtColor(
+                            (frame.gray * 255.0).astype(np.uint8),
+                            cv2.COLOR_GRAY2BGR,
+                        )
+                    )
+            if visualize:
+                import cv2
+
+                if viz_writer is None:
+                    viz_video_path = os.path.join(
+                        out_dir, f"visualize-{raw_segment:04d}.mp4"
+                    )
+                    h, w = frame.gray.shape
+                    viz_writer = cv2.VideoWriter(
+                        viz_video_path,
+                        cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
+                    )
+                viz_writer.write(
+                    _overlay_frame(frame.gray, tracker, frame, state)
+                )
             if state == LOST:
                 break
         tracker.finalize()  # terminal loop-closure pass (max revisit overlap)
+        if seg_writer is not None:
+            seg_writer.release()
+        if viz_writer is not None:
+            viz_writer.release()
         trajectory = trajectory_from_tracker(tracker)
+        accepted = False
         if trajectory is not None:
             processed = postprocess_segment(trajectory, rotation_smooth_sigma)
             if processed is not None:
+                offset = 0
+                if per_segment_videos and first_ok_fid is not None:
+                    # Remap ids to segment-video frame indices; drop the
+                    # init reference frame (no frame in the video).
+                    offset = int(first_ok_fid)
+                    keep = processed.frame_id >= first_ok_fid
+                    if not keep.all():
+                        processed = Trajectory(
+                            time_usec=processed.time_usec[keep],
+                            frame_id=processed.frame_id[keep],
+                            is_lost=processed.is_lost[keep],
+                            translations=processed.translations[keep],
+                            rotations=processed.rotations[keep],
+                            plane=processed.plane,
+                            planar_directions=(
+                                processed.planar_directions[keep]
+                                if processed.planar_directions is not None
+                                else None
+                            ),
+                            turn_angles=(
+                                processed.turn_angles[keep]
+                                if processed.turn_angles is not None
+                                else None
+                            ),
+                        )
                 write_trajectory(
                     processed,
                     os.path.join(out_dir, f"trajectory-{segment:04d}.json"),
+                    frame_id_offset=offset,
                 )
+                if per_segment_videos and seg_video_path is not None:
+                    want = os.path.join(
+                        out_dir, f"trajectory-{segment:04d}.mp4"
+                    )
+                    if want != seg_video_path:
+                        os.replace(seg_video_path, want)
+                        seg_video_path = want
+                if visualize and viz_video_path is not None:
+                    want = os.path.join(out_dir, f"visualize-{segment:04d}.mp4")
+                    if want != viz_video_path:
+                        os.replace(viz_video_path, want)
+                        viz_video_path = want
                 segment += 1
+                accepted = True
             else:
                 # Same silent-drop as the reference's lambda3 test, but say
                 # so: "0 segments" on a well-tracked video reads like a
@@ -289,6 +448,14 @@ def track_video_segments(
                     f"segment with {len(trajectory)} tracked frames rejected "
                     "by the trajectory-plane flatness test (not planar)"
                 )
+        if not accepted:
+            # Drop videos of rejected segments (the reference's sink writes
+            # them regardless; we keep the directory aligned with the JSONs
+            # so trajectory-N.json always pairs with trajectory-N.mp4).
+            for stale in (seg_video_path, viz_video_path):
+                if stale is not None and os.path.exists(stale):
+                    os.remove(stale)
+        raw_segment += 1
         if fed == 0:
             break
     return segment, consumed

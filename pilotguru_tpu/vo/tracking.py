@@ -136,7 +136,8 @@ _project = jax.jit(project)
 @partial(
     jax.jit,
     static_argnames=(
-        "search_radius", "max_distance", "scale", "level_window",
+        "search_radius", "refine_radius", "max_distance", "scale",
+        "level_window", "huber_delta", "inlier_threshold",
     ),
 )
 def fused_track_step(
@@ -153,10 +154,22 @@ def fused_track_step(
     max_distance: int,
     scale: float = 1.2,
     level_window: int = 2,
+    refine_radius: float = 0.0,
+    huber_delta: float = 0.006,
+    inlier_threshold: float = 0.01,
 ):
     """One whole tracking attempt as a SINGLE device program: frustum test,
     projected matching (octave-aware), robust pose refinement with
-    per-level information weights, and visibility stats.
+    per-level information weights, and visibility stats — run TWICE: a
+    wide-window motion-model pass (the reference's TrackWithMotionModel,
+    15 px x sigma) followed by a tight-window re-match + re-refine around
+    the optimized pose (TrackLocalMap's ~4 px x sigma SearchByProjection).
+    The tight second pass is what disambiguates repetitive texture: a wide
+    window around an uncertain prediction contains many near-identical
+    descriptors (the ratio test then kills the match or, worse, aliases
+    it), while a few-pixel window around an already-refined pose contains
+    almost always exactly one. ``refine_radius`` <= 0 disables the second
+    pass.
 
     No rotation-consistency filter here: the reference's map-point
     SearchByProjection (TrackLocalMap) has no orientation histogram either
@@ -171,41 +184,61 @@ def fused_track_step(
     few small vectors ride back. (On a locally-attached chip this same
     fusion removes per-op dispatch overhead.)
     """
-    cam = transform(predicted, points)
-    in_front = (cam[:, 2] > 0.05) & cand_mask
-    proj = project(cam)
-    proj = jnp.where(in_front[:, None], proj, 1e3)
-
     # Field-of-view bounds for the found-ratio statistic, from this frame's
     # keypoint extent (Frame::isInFrustum checks image bounds).
     big = jnp.asarray(jnp.inf, kp_norm.dtype)
     lo = jnp.min(jnp.where(kp_valid[:, None], kp_norm, big), axis=0)
     hi = jnp.max(jnp.where(kp_valid[:, None], kp_norm, -big), axis=0)
     any_kp = jnp.any(kp_valid)
-    in_view = in_front & jnp.all(
-        (proj >= lo - search_radius) & (proj <= hi + search_radius), axis=1
-    )
-    in_view = jnp.where(any_kp, in_view, in_front)
 
-    m = matching.match_projected(
-        point_desc, proj, kp_desc, kp_norm,
-        search_radius=search_radius,
-        valid_a=in_front, valid_b=kp_valid,
-        max_distance=max_distance,
-        level_a=point_level, level_b=kp_level,
-        scale=scale, level_window=level_window,
-    )
-    idx = jnp.clip(m.index, 0, None)
-    obs = jnp.where(m.valid[:, None], kp_norm[idx], 0.0)
-    # Information weights from the CURRENT frame's matched keypoint level
-    # (the reference weighs each edge by invSigma2 of the observing
-    # keypoint's octave, Optimizer.cc:126-127).
-    inv_s = jnp.where(
-        m.valid,
-        (1.0 / scale) ** kp_level[idx].astype(kp_norm.dtype),
-        1.0,
-    )
-    res = optimize_pose(predicted, points, obs, m.valid, obs_invsigma=inv_s)
+    def attempt(pose6, radius):
+        cam = transform(pose6, points)
+        in_front = (cam[:, 2] > 0.05) & cand_mask
+        proj = project(cam)
+        proj = jnp.where(in_front[:, None], proj, 1e3)
+        in_view = in_front & jnp.all(
+            (proj >= lo - radius) & (proj <= hi + radius), axis=1
+        )
+        in_view = jnp.where(any_kp, in_view, in_front)
+        m = matching.match_projected(
+            point_desc, proj, kp_desc, kp_norm,
+            search_radius=radius,
+            valid_a=in_front, valid_b=kp_valid,
+            max_distance=max_distance,
+            level_a=point_level, level_b=kp_level,
+            scale=scale, level_window=level_window,
+        )
+        idx = jnp.clip(m.index, 0, None)
+        obs = jnp.where(m.valid[:, None], kp_norm[idx], 0.0)
+        # Information weights from the CURRENT frame's matched keypoint
+        # level (the reference weighs each edge by invSigma2 of the
+        # observing keypoint's octave, Optimizer.cc:126-127).
+        inv_s = jnp.where(
+            m.valid,
+            (1.0 / scale) ** kp_level[idx].astype(kp_norm.dtype),
+            1.0,
+        )
+        res = optimize_pose(
+            pose6, points, obs, m.valid, obs_invsigma=inv_s,
+            huber_delta=huber_delta, inlier_threshold=inlier_threshold,
+        )
+        return res, m, in_view
+
+    res, m, in_view = attempt(predicted, search_radius)
+    if refine_radius > 0.0:
+        res2, m2, in_view2 = attempt(res.pose6, refine_radius)
+        # Keep the refined result unless the tight window collapsed the
+        # match set (a bad first pose would take everything down with it).
+        better = res2.num_inliers >= jnp.minimum(res.num_inliers, 10)
+        res = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), res2, res
+        )
+        m = matching.Matches(
+            index=jnp.where(better, m2.index, m.index),
+            distance=jnp.where(better, m2.distance, m.distance),
+            valid=jnp.where(better, m2.valid, m.valid),
+        )
+        in_view = jnp.where(better, in_view2, in_view)
     # ONE packed f32 result vector: every host<->device round trip costs
     # ~30 ms through the tunnel (and a 0-d scalar pull costs ~seconds), so
     # the whole per-frame result rides back in a single array pull —
@@ -224,7 +257,12 @@ def fused_track_step(
     return packed
 
 
-@partial(jax.jit, static_argnames=("scale", "use_rotation_check"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "use_rotation_check", "huber_delta", "inlier_threshold",
+    ),
+)
 def fused_ref_kf_track(
     kf_points,  # [K, 3] map-point positions per reference-keyframe keypoint
     kf_has_point,  # [K] bool — keypoint observes a valid map point
@@ -239,6 +277,8 @@ def fused_ref_kf_track(
     kp_angle,  # [Kc]
     scale: float = 1.2,
     use_rotation_check: bool = True,
+    huber_delta: float = 0.006,
+    inlier_threshold: float = 0.01,
 ):
     """TrackReferenceKeyFrame as ONE device program (Tracking.cc:317-323,
     748 — tried when motion-model tracking fails, BEFORE relocalization):
@@ -262,7 +302,10 @@ def fused_ref_kf_track(
     inv_s = jnp.where(
         m.valid, (1.0 / scale) ** kp_level.astype(kp_norm.dtype), 1.0
     )
-    res = optimize_pose(pose0, pts, kp_norm, m.valid, obs_invsigma=inv_s)
+    res = optimize_pose(
+        pose0, pts, kp_norm, m.valid, obs_invsigma=inv_s,
+        huber_delta=huber_delta, inlier_threshold=inlier_threshold,
+    )
     f32 = jnp.float32
     return jnp.concatenate(
         [
@@ -276,7 +319,10 @@ def fused_ref_kf_track(
 
 @partial(
     jax.jit,
-    static_argnames=("min_parallax_cos", "scale", "use_rotation_check"),
+    static_argnames=(
+        "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
+        "epipolar_gate",
+    ),
 )
 def fused_create_points(
     prev_desc,  # [K, 256]
@@ -294,14 +340,24 @@ def fused_create_points(
     min_parallax_cos: float,
     scale: float = 1.2,
     use_rotation_check: bool = True,
+    reproj_gate: float = 0.01,
+    epipolar_gate: float = 0.0,
 ):
     """LocalMapping::CreateNewMapPoints as ONE device program: descriptor
-    matching + rotation-consistency filter + two-view triangulation +
-    cheirality/parallax/reprojection gating + world-frame transform,
-    returning a single packed result vector (same tunnel-latency rationale
-    as fused_track_step). Reprojection gates scale with each observing
-    keypoint's pyramid level (the reference gates on per-octave chi2,
-    LocalMapping.cc CreateNewMapPoints)."""
+    matching + epipolar gating + rotation-consistency filter + two-view
+    triangulation + cheirality/parallax/reprojection gating + world-frame
+    transform, returning a single packed result vector (same tunnel-latency
+    rationale as fused_track_step). Reprojection gates scale with each
+    observing keypoint's pyramid level (the reference gates on per-octave
+    chi2, LocalMapping.cc CreateNewMapPoints).
+
+    ``epipolar_gate`` > 0 enables the reference's epipolar-distance check
+    on candidate pairs (ORBmatcher SearchForTriangulation ->
+    CheckDistEpipolarLine): with repetitive texture, descriptor-only
+    matching between two keyframes aliases onto lookalike corners; the
+    known relative pose pins true matches to within ~2 px x sigma of the
+    epipolar line and kills the rest before they become bogus map points.
+    """
     m = matching.match_descriptors(
         prev_desc, curr_desc, valid_a=prev_un, valid_b=curr_un,
         max_distance=matching.HAMMING_LOW, ratio=0.85,
@@ -311,6 +367,36 @@ def fused_create_points(
     idx = jnp.clip(m.index, 0, None)
     p1 = prev_kp
     p2 = curr_kp[idx]
+    if epipolar_gate > 0.0:
+        r21 = rotvec_to_matrix(delta6[:3])
+        t21 = delta6[3:]
+        t_cross = jnp.asarray(
+            [
+                [0.0, -t21[2], t21[1]],
+                [t21[2], 0.0, -t21[0]],
+                [-t21[1], t21[0], 0.0],
+            ],
+            delta6.dtype,
+        )
+        essential = t_cross @ r21
+        ones = jnp.ones(p1.shape[:-1] + (1,), p1.dtype)
+        x1 = jnp.concatenate([p1, ones], axis=-1)
+        x2 = jnp.concatenate([p2, ones], axis=-1)
+        ex1 = x1 @ essential.T.astype(p1.dtype)
+        etx2 = x2 @ essential.astype(p1.dtype)
+        sampson_sq = jnp.sum(x2 * ex1, axis=-1) ** 2 / (
+            ex1[:, 0] ** 2 + ex1[:, 1] ** 2
+            + etx2[:, 0] ** 2 + etx2[:, 1] ** 2 + 1e-18
+        )
+        sigma2_gate = scale ** curr_level[idx].astype(p1.dtype)
+        epi_ok = sampson_sq < (epipolar_gate * sigma2_gate) ** 2
+        m = matching.Matches(
+            index=jnp.where(epi_ok, m.index, -1),
+            distance=m.distance,
+            valid=m.valid & epi_ok,
+        )
+        idx = jnp.clip(m.index, 0, None)
+        p2 = curr_kp[idx]
     r21 = rotvec_to_matrix(delta6[:3])
     t21 = delta6[3:]
     pts_prev = triangulate(r21, t21, p1, p2)
@@ -334,7 +420,7 @@ def fused_create_points(
         m.valid
         & (z1 > 0.05) & (z2 > 0.05)
         & (parallax_cos < min_parallax_cos)
-        & (reproj1 < 0.01 * sigma1) & (reproj2 < 0.01 * sigma2)
+        & (reproj1 < reproj_gate * sigma1) & (reproj2 < reproj_gate * sigma2)
         & jnp.all(jnp.isfinite(pts_prev), axis=1)
     )
     r_prev = rotvec_to_matrix(prev_pose6[:3])
@@ -440,6 +526,22 @@ class CameraModel:
             norm = self._undistort_normalized(norm)
         return norm
 
+    def denormalize(self, xy_norm):
+        """Undistorted normalized-plane -> pixel coordinates (exact forward
+        distortion model; inverse of :meth:`normalize`). Used by the
+        visualization overlay to place tracked features back on the frame."""
+        x = xy_norm[..., 0]
+        y = xy_norm[..., 1]
+        if self.has_distortion():
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (self.k1 + self.k2 * r2)
+            xd = x * radial + 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+            yd = y * radial + self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+            x, y = xd, yd
+        return np.stack(
+            [x * self.fx + self.cx, y * self.fy + self.cy], axis=-1
+        )
+
 
 @dataclass(frozen=True)
 class TrackerConfig:
@@ -457,6 +559,23 @@ class TrackerConfig:
     level_window: int = 2
     # Rotation-consistency filtering (ORBmatcher CheckOrientation).
     rotation_consistency: bool = True
+    # --- Pixel-calibrated geometric gates -------------------------------
+    # The reference expresses every search window and chi2 gate in PIXELS
+    # scaled by the octave sigma (ORBmatcher th * mvScaleFactors,
+    # Optimizer 5.991-chi2); a normalized-plane constant silently loosens
+    # with focal length (0.08 normalized = 20 px at fx 250 but 56 px at a
+    # phone camera's fx 700 — wide enough to swallow dozens of aliased
+    # corner candidates and corrupt the map). These are converted to
+    # normalized units with the camera's fx at tracker construction; the
+    # explicit *_radius overrides below win when set (unit-test scenes
+    # feed normalized coordinates directly).
+    track_search_px: float = 15.0  # motion-model window (ORBmatcher th=15 mono)
+    track_refine_px: float = 4.0  # post-refinement local-map window (th~1 x 2.5-4)
+    fuse_search_px: float = 5.0  # duplicate-fusion projection window
+    reproj_gate_px: float = 2.5  # triangulation reprojection gate (~sqrt(5.991))
+    epipolar_gate_px: float = 2.0  # triangulation epipolar gate (~sqrt(3.84))
+    inlier_px: float = 2.5  # pose/BA chi2 inlier gate
+    huber_px: float = 1.5  # robust-loss knee
     # Monocular initialization matches only the finest pyramid levels
     # (the reference's SearchForInitialization restricts to octave 0).
     init_max_level: int = 0
@@ -473,13 +592,16 @@ class TrackerConfig:
     min_track_inliers: int = 25
     keyframe_inlier_ratio: float = 0.75
     keyframe_max_gap: int = 8
-    match_search_radius: float = 0.08  # normalized-plane units
+    # Normalized-plane override for the motion-model search window; None
+    # derives track_search_px / camera.fx (unit-test scenes that feed
+    # normalized coordinates directly set this explicitly).
+    match_search_radius: Optional[float] = None
     min_parallax_cos: float = 0.9999
     ba_every_keyframe: bool = True
     # --- map maintenance (LocalMapping parity) ---
     cull_found_ratio: float = 0.25  # MapPointCulling GetFoundRatio threshold
     cull_min_observations: int = 2  # monocular cnThObs (LocalMapping.cc:177)
-    fuse_search_radius: float = 0.02  # duplicate-fusion projection window
+    fuse_search_radius: Optional[float] = None  # normalized override (see above)
     keyframe_cull_redundancy: float = 0.9  # KeyFrameCulling 90% rule
     keyframe_cull_min_obs: int = 3  # "seen in at least other 3 keyframes"
     # --- loop closing ---
@@ -560,6 +682,35 @@ class MonocularTracker:
         self.config = config
         self.state = NOT_INITIALIZED
         self._feature_fn = feature_fn or self._extract
+        # Pixel-calibrated gates -> normalized-plane units via the camera
+        # focal (the reference's windows/chi2 gates are all pixel x octave-
+        # sigma quantities; see TrackerConfig). Explicit normalized
+        # overrides win. Unit-test rigs feed normalized coordinates through
+        # an fx=1 identity camera; for those, convert at the 250 px focal
+        # the legacy normalized defaults were tuned at (2.5 px / 250 px
+        # reproduces the old 0.01 gate exactly).
+        fx = float(camera.fx)
+        if fx <= 10.0:
+            fx = 250.0
+        self._search_rad = (
+            config.match_search_radius
+            if config.match_search_radius is not None
+            else config.track_search_px / fx
+        )
+        self._refine_rad = (
+            min(self._search_rad, config.track_refine_px / fx)
+            if config.match_search_radius is None
+            else self._search_rad
+        )
+        self._fuse_rad = (
+            config.fuse_search_radius
+            if config.fuse_search_radius is not None
+            else config.fuse_search_px / fx
+        )
+        self._reproj_gate = config.reproj_gate_px / fx
+        self._epi_gate = config.epipolar_gate_px / fx
+        self._inlier_thresh = config.inlier_px / fx
+        self._huber = config.huber_px / fx
         # Map storage (fixed capacity).
         m = config.max_map_points
         self.points = np.zeros((m, 3), np.float64)
@@ -582,6 +733,8 @@ class MonocularTracker:
         self._init_attempts = 0
         self._pose = np.zeros(6)
         self._motion = np.zeros(6)  # se3-ish delta applied per frame
+        # Keypoint rows tracked as inliers in the latest frame (overlay).
+        self.last_track_kp_rows = np.zeros(0, np.int32)
         self._frames_since_keyframe = 0
         self._rng = jax.random.PRNGKey(0)
         self._next_kf_id = 0
@@ -970,10 +1123,13 @@ class MonocularTracker:
                 jnp.asarray(frame.desc),
                 jnp.asarray(frame.valid),
                 jnp.asarray(frame.level),
-                search_radius=self.config.match_search_radius,
+                search_radius=self._search_rad,
                 max_distance=matching.HAMMING_HIGH,
                 scale=self.config.scale,
                 level_window=self.config.level_window,
+                refine_radius=self._refine_rad,
+                huber_delta=self._huber,
+                inlier_threshold=self._inlier_thresh,
             )
         )
         m = self.config.max_map_points
@@ -1012,6 +1168,8 @@ class MonocularTracker:
                 jnp.asarray(frame.angle),
                 scale=self.config.scale,
                 use_rotation_check=self.config.rotation_consistency,
+                huber_delta=self._huber,
+                inlier_threshold=self._inlier_thresh,
             )
         )
         num_inliers = int(packed[6])
@@ -1106,6 +1264,10 @@ class MonocularTracker:
         self.point_visible[in_front] += 1
         self.point_found[inliers] += 1
 
+        # Keypoint rows tracked as map-point inliers this frame — consumed
+        # by the offline visualization overlay (pipeline.py visualize).
+        self.last_track_kp_rows = match_idx[np.nonzero(inliers)[0]]
+
         self._motion = self._pose_delta(self._pose, new_pose)
         self._pose = new_pose
         self._append_frame(frame_id, time_usec, new_pose)
@@ -1178,6 +1340,8 @@ class MonocularTracker:
                 min_parallax_cos=self.config.min_parallax_cos,
                 scale=self.config.scale,
                 use_rotation_check=self.config.rotation_consistency,
+                reproj_gate=self._reproj_gate,
+                epipolar_gate=self._epi_gate,
             )
         )
         idx = packed[:k].astype(np.int32)
@@ -1260,7 +1424,7 @@ class MonocularTracker:
                 jnp.asarray(kf.kp_norm),
                 jnp.asarray(kf.kp_valid),
                 jnp.asarray(kf.kp_level),
-                search_radius=self.config.fuse_search_radius,
+                search_radius=self._fuse_rad,
                 max_distance=matching.HAMMING_LOW,
                 scale=self.config.scale,
                 level_window=self.config.level_window,
@@ -1420,7 +1584,11 @@ class MonocularTracker:
             jnp.asarray(point_valid),
             jnp.asarray(o_invs),
         )
-        result = _bundle_adjust(problem)
+        result = _bundle_adjust(
+            problem,
+            huber_delta=self._huber,
+            inlier_threshold=self._inlier_thresh,
+        )
         new_poses = np.asarray(result.poses6)
         for ki, kf in enumerate(window):
             kf.pose6 = new_poses[ki]

@@ -190,6 +190,71 @@ class TestTwoView:
         # Outliers excluded.
         assert int(res.score) < 180
 
+    def test_planar_scene_homography_init(self):
+        """All points on ONE plane: the 8-point essential fit is degenerate
+        (a plane gives the fundamental matrix a multi-parameter solution
+        family, so the SVD null vector is arbitrary), which is exactly why
+        the reference scores a homography in parallel and picks by
+        RH = SH/(SH+SF) (Initializer.cc:104-124). The pose must come out
+        right via the Faugeras decomposition (ReconstructH)."""
+        rng = np.random.default_rng(11)
+        n = 200
+        x = rng.uniform(-2.0, 2.0, n)
+        y = rng.uniform(-1.5, 1.5, n)
+        # Slanted plane (non-frontoparallel) well in front of both cameras.
+        z = 5.0 + 0.8 * x - 0.4 * y
+        points = np.stack([x, y, z], axis=1)
+        angle = 0.06
+        r21 = np.array(
+            [
+                [np.cos(angle), 0, np.sin(angle)],
+                [0, 1, 0],
+                [-np.sin(angle), 0, np.cos(angle)],
+            ]
+        )
+        t21 = np.array([0.5, -0.1, 0.15])
+        t21 /= np.linalg.norm(t21)
+        cam2 = points @ r21.T + t21
+        p1 = points[:, :2] / points[:, 2:3]
+        p2 = cam2[:, :2] / cam2[:, 2:3]
+        res = twoview.two_view_reconstruction(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
+            jax.random.PRNGKey(3),
+        )
+        np.testing.assert_allclose(np.asarray(res.rotation), r21, atol=5e-3)
+        assert abs(np.asarray(res.translation) @ t21) > 0.995
+        assert int(res.score) > 150
+        # Triangulated map must live on the true plane (scale-normalized).
+        pts = np.asarray(res.points3d)[np.asarray(res.inliers)]
+        scale = np.median(pts[:, 2]) / np.median(points[:, 2])
+        plane_err = pts[:, 2] / scale - (
+            5.0 + 0.8 * pts[:, 0] / scale - 0.4 * pts[:, 1] / scale
+        )
+        assert np.percentile(np.abs(plane_err), 90) < 0.05
+
+    def test_homography_decomposition_roundtrip(self):
+        """decompose_homography must contain the true (R, t) among its 8
+        Faugeras hypotheses for a synthetic plane-induced homography."""
+        angle = 0.1
+        r21 = np.array(
+            [
+                [np.cos(angle), -np.sin(angle), 0],
+                [np.sin(angle), np.cos(angle), 0],
+                [0, 0, 1],
+            ]
+        )
+        t21 = np.array([0.3, 0.1, -0.05])
+        n_plane = np.array([0.1, -0.2, 1.0])
+        d = 4.0
+        h = r21 + np.outer(t21, n_plane) / d
+        rs, ts = twoview.decompose_homography(jnp.asarray(h))
+        rs, ts = np.asarray(rs), np.asarray(ts)
+        t_unit = t21 / np.linalg.norm(t21)
+        best_r = min(np.linalg.norm(rs - r21, axis=(1, 2)))
+        best_t = max(abs(ts @ t_unit))
+        assert best_r < 1e-5
+        assert best_t > 1.0 - 1e-6
+
     def test_triangulation_accuracy(self):
         rng = np.random.default_rng(7)
         points, r21, t21, p1, p2 = _synthetic_two_view(rng, n=50)

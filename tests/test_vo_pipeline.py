@@ -286,3 +286,115 @@ class TestOpticalTrajectoriesCli:
         frame_ids = np.array([p["frame_id"] for p in points])
         corr = np.corrcoef(rates[3:], true_rates[frame_ids][3:])[0, 1]
         assert abs(corr) > 0.8, f"turn-rate correlation too weak: {corr}"
+
+    def test_reference_budget_720p(self, tmp_path):
+        """Tracker at the REFERENCE feature budget (1280x720, 2000 features
+        / 8 pyramid levels — src/calibrate.cc:518-531), the config the
+        bench runs at. Round 2 shipped green on toy-scale tests while the
+        bench config lost tracking twice and produced zero accepted
+        segments (BENCH_r02); this test pins the bench-scale behavior so it
+        can never silently regress again. Kept to 100 frames so the slow
+        tier stays affordable on a 1-core host."""
+        from pilotguru_tpu.vo.camera import CameraSettings
+        from pilotguru_tpu.vo.flatten import flatten_trajectory
+        from pilotguru_tpu.vo.pipeline import (
+            track_video_segments,
+            trajectory_from_tracker,
+            video_frames,
+        )
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "ride720p.mp4")
+        num_frames = 100
+        fx, fy, cx, cy, true_rates = render_parallax_video(
+            video, width=1280, height=720, frames=num_frames,
+            num_points=2400, fx=700.0, period_frames=60.0,
+        )
+        settings = CameraSettings(
+            fx=fx, fy=fy, cx=cx, cy=cy, orb_features=2000, orb_levels=8,
+        )
+        out_dir = tmp_path / "out"
+        segments, consumed = track_video_segments(
+            video_frames(video), settings, str(out_dir), feature_batch_size=8
+        )
+        assert consumed == num_frames
+        assert segments >= 1, "no accepted segment at reference budget"
+
+        from pilotguru_tpu.formats import json_io
+
+        root = json_io.read_json(str(out_dir / "trajectory-0000.json"))
+        points = root["trajectory"]
+        # One unbroken segment: no mid-ride LOSTs on this clean ride.
+        assert len(points) >= num_frames - 5, (
+            f"segment covers only {len(points)}/{num_frames} frames "
+            "(mid-ride tracking loss at reference budget)"
+        )
+        rates = np.array([p.get("angular_velocity", 0.0) for p in points])
+        frame_ids = np.array([p["frame_id"] for p in points])
+        corr = np.corrcoef(rates[3:], true_rates[frame_ids][3:])[0, 1]
+        assert abs(corr) > 0.9, f"turn-rate correlation too weak: {corr}"
+
+    def test_per_segment_videos_and_visualize(self, tmp_path):
+        """--output_per_segment_videos + --visualize (reference
+        optical_trajectories.cc:47,53-57): per-segment video frame counts
+        must match the remapped JSON frame ids (sink consumes OK-state
+        frames; frame_id_offset makes ids index into the segment video,
+        track_image_sequence.cc:58-60,103-104), and the visualize overlay
+        must exist with the same frame cadence as the full input."""
+        import cv2
+
+        from pilotguru_tpu.cli import optical_trajectories
+        from pilotguru_tpu.formats import json_io
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "video.mp4")
+        fx, fy, cx, cy, _ = render_parallax_video(video)
+
+        yaml_path = str(tmp_path / "camera.yaml")
+        fs = cv2.FileStorage(yaml_path, cv2.FILE_STORAGE_WRITE)
+        for key, value in [
+            ("Camera_fx", fx), ("Camera_fy", fy), ("Camera_cx", cx),
+            ("Camera_cy", cy), ("Camera_fps", 30.0),
+            ("ORBextractor_nFeatures", 600), ("ORBextractor_scaleFactor", 1.2),
+            ("ORBextractor_nLevels", 3), ("ORBextractor_iniThFAST", 20),
+            ("ORBextractor_minThFAST", 7),
+        ]:
+            fs.write(key, value)
+        fs.release()
+
+        out_dir = tmp_path / "out"
+        rc = optical_trajectories.main(
+            [
+                "--vocabulary_file=",
+                f"--camera_settings={yaml_path}",
+                f"--in_video={video}",
+                f"--out_dir={out_dir}",
+                "--output_per_segment_videos",
+                "--visualize",
+            ]
+        )
+        assert rc == 0
+        jsons = sorted(out_dir.glob("trajectory-*.json"))
+        assert jsons, "no trajectory segments written"
+
+        def frame_count(path):
+            cap = cv2.VideoCapture(str(path))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            return n
+
+        for json_path in jsons:
+            seg_video = json_path.with_suffix(".mp4")
+            assert seg_video.exists(), f"missing segment video {seg_video}"
+            points = json_io.read_json(str(json_path))["trajectory"]
+            ids = np.array([p["frame_id"] for p in points])
+            # Remapped ids index into the segment video: consecutive 0..N-1
+            # and the video holds exactly those frames.
+            assert ids[0] == 0
+            np.testing.assert_array_equal(ids, np.arange(len(ids)))
+            assert frame_count(seg_video) == len(ids)
+            viz = out_dir / json_path.name.replace(
+                "trajectory-", "visualize-"
+            ).replace(".json", ".mp4")
+            assert viz.exists(), f"missing visualize video {viz}"
+            assert frame_count(viz) >= frame_count(seg_video)
