@@ -102,6 +102,16 @@ def main(argv=None):
 
         timer.report(out=_sys.stderr)
 
+    # Reference logs the fitted axis via its vector operator<<
+    # (calibration/rotation.cc:464 + include/logging/strings.hpp).
+    from pilotguru_tpu.utils.strings import format_sequence
+
+    print(
+        "FixedForwardAxisCalibrator overall: "
+        + format_sequence(f"{v:.6f}" for v in result.forward_axis),
+        file=sys.stderr,
+    )
+
     if args.steering_out_json:
         json_io.write_timestamped_values(
             result.steering_times_usec,

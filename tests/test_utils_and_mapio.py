@@ -161,3 +161,16 @@ class TestSynchronizedLatestValue:
         # The consumer saw the final value and only ever-fresher values.
         assert seen[-1] == 99 or seen == []
         assert seen == sorted(seen)
+
+
+class TestFormatSequence:
+    """Parity with the reference vector operator<< layout
+    (include/logging/strings.hpp:8-20)."""
+
+    def test_matches_reference_stream_layout(self):
+        from pilotguru_tpu.utils.strings import format_sequence
+
+        assert format_sequence([1, 2, 3]) == "{1, 2, 3}"
+        assert format_sequence([]) == "{}"
+        assert format_sequence(["a"]) == "{a}"
+        assert format_sequence(f"{v:.2f}" for v in (0.5, -1.0)) == "{0.50, -1.00}"
