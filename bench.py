@@ -397,15 +397,21 @@ def bench_training():
         state, losses = _retry(lambda: step(state, key))  # compile warmup
         jax.block_until_ready(losses)
         if batch == batches[-1]:
+            # Lower the ALREADY-jitted train step (same HLO as the warmup
+            # call -> compile-cache hit); re-jitting the closure here would
+            # compile a second multi-minute program through the tunnel.
             try:
                 cost = (
-                    jax.jit(step)
-                    .lower(state, key)
+                    train_step.lower(state, inputs, labels, weights, use, key)
                     .compile()
                     .cost_analysis()
                 )
                 flops_per_step = cost.get("flops")
-            except Exception:
+            except Exception as exc:
+                print(
+                    f"# training cost_analysis unavailable: {exc}",
+                    file=sys.stderr,
+                )
                 flops_per_step = None
         steps = max(4, 2560 // batch)
         start = time.perf_counter()

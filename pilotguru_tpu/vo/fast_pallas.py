@@ -54,13 +54,15 @@ def _fast_kernel(img_ref, out_ref, *, threshold: float, block_rows: int):
         darker.append(k)
 
     def has_arc(bits):
-        # >= 9 contiguous set bits on the 16-cycle: OR over the 16 start
-        # positions of 9-term AND chains (static unroll, pure VPU work).
+        # >= 9 contiguous set bits on the 16-cycle via binary-doubling run
+        # detection (R_2k(i) = R_k(i) & R_k(i+k)): 64 ANDs instead of the
+        # naive 16x8 chain (static unroll, pure VPU work).
+        r2 = [bits[i] & bits[(i + 1) % 16] for i in range(16)]
+        r4 = [r2[i] & r2[(i + 2) % 16] for i in range(16)]
+        r8 = [r4[i] & r4[(i + 4) % 16] for i in range(16)]
         any_arc = None
-        for start in range(16):
-            run = bits[start]
-            for j in range(1, 9):
-                run = jnp.logical_and(run, bits[(start + j) % 16])
+        for i in range(16):
+            run = r8[i] & bits[(i + 8) % 16]
             any_arc = run if any_arc is None else jnp.logical_or(any_arc, run)
         return any_arc
 

@@ -91,15 +91,17 @@ def fast_scores(image, threshold: float):
     brighter = diff > threshold
     darker = diff < -threshold
 
-    # >= 9 contiguous set bits on the 16-cycle: cumulative AND of 9 rotations
-    # evaluates all 16 start positions at once, then OR over starts.
-    def arcs(bits):
-        acc = bits
-        for j in range(1, 9):
-            acc = acc & jnp.roll(bits, -j, axis=0)
-        return jnp.any(acc, axis=0)
+    # >= 9 contiguous set bits on the 16-cycle, all start positions at once.
+    # Binary-doubling run detection: R_2k(i) = R_k(i) & R_k(i+k), so a run of
+    # 9 costs 4 ANDs per start instead of the naive 8-rotation cumulative AND
+    # (this is the VPU-bound hot loop of the whole extractor).
+    def run9(bits):
+        r2 = bits & jnp.roll(bits, -1, axis=0)
+        r4 = r2 & jnp.roll(r2, -2, axis=0)
+        r8 = r4 & jnp.roll(r4, -4, axis=0)
+        return r8 & jnp.roll(bits, -8, axis=0)
 
-    corner = arcs(brighter) | arcs(darker)
+    corner = jnp.any(run9(brighter) | run9(darker), axis=0)
     # SAD response over the thresholded circle differences.
     response = jnp.maximum(
         jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0),

@@ -758,6 +758,7 @@ class MonocularTracker:
         self._dev_map = None
         # Maintenance observability (never silently degrade the map).
         self.stats: Dict[str, int] = {
+            "points_created": 0,
             "points_culled": 0,
             "points_fused": 0,
             "points_recycled": 0,
@@ -1043,6 +1044,7 @@ class MonocularTracker:
         self.points[slots] = pts[src_rows]
         self.point_desc[slots] = desc[np.clip(dst_rows, 0, None)]
         self.point_valid[slots] = True
+        self.stats["points_created"] += len(slots)
         self.point_level[slots] = frame.level[np.clip(dst_rows, 0, None)]
         self.point_angle[slots] = frame.angle[np.clip(dst_rows, 0, None)]
         self.point_visible[slots] = 2
@@ -1357,6 +1359,7 @@ class MonocularTracker:
         self.points[slots] = pts_world[:take]
         self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
         self.point_valid[slots] = True
+        self.stats["points_created"] += take
         self.point_level[slots] = kf.kp_level[idx[rows[:take]]]
         self.point_angle[slots] = kf.kp_angle[idx[rows[:take]]]
         self.point_visible[slots] = 1

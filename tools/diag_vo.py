@@ -60,8 +60,10 @@ def main():
     fid = -1
     for frame in frames_iter:
         fid = frame.frame_id
+        kp_norm, desc, valid, kp_level, kp_angle = frame.features
         state = tracker.process_features(
-            *frame.features, frame.frame_id, frame.time_usec
+            kp_norm, desc, valid, frame.frame_id, frame.time_usec,
+            kp_level=kp_level, kp_angle=kp_angle,
         )
         last = tracker.trajectory[-1] if tracker.trajectory else None
         ninl = tracker.keyframes[-1].num_inliers if tracker.keyframes else 0
