@@ -125,7 +125,10 @@ def _fast_impl() -> str:
     pallas_call boundaries block fusion with the surrounding pyramid ops.
     'auto' therefore selects the jnp path on every backend; the kernel
     stays available (and parity-tested, compiled on TPU by the bench) as
-    the scaffold for future fused-extract work."""
+    the scaffold for future fused-extract work. A bf16 compute path was
+    also raced (tools/bench_fast_dtype.py): 1.15 vs 1.14 ms at 720p — the
+    stage is bandwidth-bound, not VPU-bound, so lower precision buys
+    nothing and fp32 stays."""
     choice = os.environ.get("PGTPU_FAST_IMPL", "auto")
     if choice == "auto":
         return "jnp"
@@ -272,6 +275,105 @@ def brief_descriptors(image, yx, angles, pattern=None):
     return jax.vmap(one)(yx, angles)
 
 
+PATCH_GATHER_RADIUS = 19  # covers orientation (r=15) + rotated BRIEF taps
+_PATCH_SIZE = 2 * PATCH_GATHER_RADIUS + 1
+BRIEF_ANGLE_BINS = 32  # steering quantization (ORB paper uses 2*pi/30)
+
+
+def extract_patches(image, yx, radius: int = PATCH_GATHER_RADIUS):
+    """Gather one square patch per keypoint: [K, 2r+1, 2r+1].
+
+    The single block-structured fetch that feeds both the orientation
+    moments and the BRIEF matmul — the only data-dependent addressing left
+    in the descriptor path (the per-tap scattered gathers of
+    brief_descriptors are 2.7x slower on TPU, tools/bench_brief_matmul.py).
+    """
+    size = 2 * radius + 1
+    padded = jnp.pad(image, radius, mode="edge")
+
+    def one(point):
+        return jax.lax.dynamic_slice(padded, (point[0], point[1]), (size, size))
+
+    return jax.vmap(one)(yx)
+
+
+def _orientation_moment_weights():
+    offs = np.arange(_PATCH_SIZE, dtype=np.float32) - PATCH_GATHER_RADIUS
+    dy = offs[:, None]
+    dx = offs[None, :]
+    circ = ((dy * dy + dx * dx) <= PATCH_RADIUS * PATCH_RADIUS).astype(
+        np.float32
+    )
+    return dx * circ, dy * circ
+
+
+_ORIENT_WX, _ORIENT_WY = _orientation_moment_weights()
+
+
+def orientations_from_patches(patches):
+    """Intensity-centroid angles as two static masked-moment contractions
+    (VPU-friendly einsum; no per-keypoint addressing). patches [K, S, S]."""
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_ORIENT_WX))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_ORIENT_WY))
+    return jnp.arctan2(m01, m10)
+
+
+def _build_brief_bin_matrix() -> np.ndarray:
+    """Per-angle-bin BRIEF tap-selection matrix, int8 [S*S, BINS*256].
+
+    Column (b, j) holds +1 at the bin-b-rotated tap-1 pixel of pair j and
+    -1 at tap-2, so patch_flat @ D = (v1 - v2) for every (bin, pair) at
+    once — steered BRIEF becomes one MXU matmul instead of 512 scattered
+    reads per keypoint. Taps that round to the same pixel cancel to a 0
+    column entry (value 0 -> bit 0, matching the v1 < v2 tie rule).
+    """
+    pat = np.asarray(BRIEF_PATTERN, np.float32)
+    d = np.zeros((_PATCH_SIZE * _PATCH_SIZE, BRIEF_ANGLE_BINS, pat.shape[0]),
+                 np.int8)
+    y1, x1, y2, x2 = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
+    for b in range(BRIEF_ANGLE_BINS):
+        ang = 2 * np.pi * b / BRIEF_ANGLE_BINS
+        c, s = np.cos(ang), np.sin(ang)
+        for taps, sign in (((y1, x1), 1), ((y2, x2), -1)):
+            ty, tx = taps
+            iy = np.round(tx * s + ty * c).astype(int) + PATCH_GATHER_RADIUS
+            ix = np.round(tx * c - ty * s).astype(int) + PATCH_GATHER_RADIUS
+            for j in range(pat.shape[0]):
+                d[iy[j] * _PATCH_SIZE + ix[j], b, j] += sign
+    return d.reshape(_PATCH_SIZE * _PATCH_SIZE, -1)
+
+
+_BRIEF_BIN_MATRIX = _build_brief_bin_matrix()
+
+
+def brief_from_patches(patches, angles):
+    """Steered BRIEF bits from gathered patches via one int8 MXU matmul.
+
+    The patch is quantized to the 0..255 grid and recentred by -128 so the
+    two-term tap difference is exact in the int32 accumulator; the angle is
+    quantized to BRIEF_ANGLE_BINS steering bins (the original ORB design —
+    the reference's exact-angle OpenCV variant differs only in sub-bin tap
+    rounding) and the keypoint's bin is collapsed with a one-hot einsum
+    rather than a gather. patches [K, S, S] float in [0, 1]; angles [K].
+    """
+    k = patches.shape[0]
+    q = jnp.clip(jnp.round(patches * 255.0), 0.0, 255.0) - 128.0
+    flat = q.astype(jnp.int8).reshape(k, _PATCH_SIZE * _PATCH_SIZE)
+    vals = jax.lax.dot_general(
+        flat,
+        jnp.asarray(_BRIEF_BIN_MATRIX),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(k, BRIEF_ANGLE_BINS, DESCRIPTOR_BITS)
+    bins = jnp.mod(
+        jnp.round(angles / (2 * jnp.pi / BRIEF_ANGLE_BINS)).astype(jnp.int32),
+        BRIEF_ANGLE_BINS,
+    )
+    onehot = jax.nn.one_hot(bins, BRIEF_ANGLE_BINS, dtype=jnp.int32)
+    picked = jnp.einsum("kbj,kb->kj", vals, onehot)
+    return (picked < 0).astype(jnp.uint8)
+
+
 def pyramid_level_budgets(total: int, num_levels: int, scale: float) -> List[int]:
     """Per-level keypoint budgets with the ORB 1/scale geometric split
     (ORBextractor constructor semantics)."""
@@ -319,9 +421,16 @@ def extract_orb_features(
         scores = nms3x3(raw)
         yx, resp, valid = select_grid_topk(scores, budgets[level], cell)
         offsets = subpixel_offsets(raw, yx)
-        angle = orientations(level_img, yx)
+        # One patch gather per keypoint feeds both orientation moments and
+        # the BRIEF matmul (2.7x faster than the scattered-gather path on
+        # TPU, tools/bench_brief_matmul.py). Orientation is computed on the
+        # blurred image (the reference's IC_Angle uses the raw level, but
+        # the radius-15 disc moments are low-pass already; one gather
+        # instead of two is worth the sub-degree difference).
         smoothed = gaussian_blur(level_img[None, :, :, None], 2.0)[0, :, :, 0]
-        desc = brief_descriptors(smoothed, yx, angle)
+        patches = extract_patches(smoothed, yx)
+        angle = orientations_from_patches(patches)
+        desc = brief_from_patches(patches, angle)
         level_scale = scale**level
         refined = yx.astype(jnp.float32) + offsets
         all_xy.append(

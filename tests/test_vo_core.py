@@ -87,6 +87,66 @@ class TestExtractor:
         clump = ((xy[:, 0] < 320) & (xy[:, 1] < 180)).mean()
         assert clump < 0.25, f"{clump:.0%} of keypoints clumped in one corner"
 
+    def test_patch_orientation_matches_gather_path(self):
+        """orientations_from_patches computes the same intensity-centroid
+        moments as the per-keypoint dynamic-slice path (IC_Angle semantics),
+        just as a static einsum over pre-gathered patches."""
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(_textured_image(rng, h=160, w=200))
+        yx = jnp.asarray(
+            np.stack(
+                [rng.integers(0, 160, 64), rng.integers(0, 200, 64)], axis=1
+            ).astype(np.int32)
+        )
+        patches = features.extract_patches(img, yx)
+        got = np.asarray(features.orientations_from_patches(patches))
+        want = np.asarray(features.orientations(img, yx))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_brief_matmul_exact_at_bin_centers(self):
+        """At exact steering-bin angles on a 0..255-grid image, the int8
+        matmul BRIEF reproduces the scattered-gather path bit-for-bit (same
+        rotated tap rounding, exact two-term difference in int32)."""
+        rng = np.random.default_rng(4)
+        img8 = rng.integers(0, 256, size=(160, 200)).astype(np.float32)
+        img = jnp.asarray(img8 / 255.0)
+        k = 64
+        yx = jnp.asarray(
+            np.stack(
+                [rng.integers(0, 160, k), rng.integers(0, 200, k)], axis=1
+            ).astype(np.int32)
+        )
+        bins = rng.integers(0, features.BRIEF_ANGLE_BINS, k)
+        angles = jnp.asarray(
+            bins * 2 * np.pi / features.BRIEF_ANGLE_BINS
+        ).astype(jnp.float32)
+        patches = features.extract_patches(img, yx)
+        got = np.asarray(features.brief_from_patches(patches, angles))
+        want = np.asarray(features.brief_descriptors(img, yx, angles))
+        np.testing.assert_array_equal(got, want)
+
+    def test_brief_matmul_close_at_arbitrary_angles(self):
+        """Between bin centers the binned steering moves taps by at most
+        ~2 px; on a smoothed (real-image-like) texture the descriptors stay
+        close to the exact-angle gather path."""
+        from pilotguru_tpu.ml.augmentation import gaussian_blur
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(_textured_image(rng, h=160, w=200))
+        img = gaussian_blur(img[None, :, :, None], 2.0)[0, :, :, 0]
+        k = 64
+        yx = jnp.asarray(
+            np.stack(
+                [rng.integers(0, 160, k), rng.integers(0, 200, k)], axis=1
+            ).astype(np.int32)
+        )
+        angles = jnp.asarray(rng.uniform(-np.pi, np.pi, k).astype(np.float32))
+        patches = features.extract_patches(img, yx)
+        got = np.asarray(features.brief_from_patches(patches, angles))
+        want = np.asarray(features.brief_descriptors(img, yx, angles))
+        mean_hamming = (got != want).sum(axis=1).mean()
+        assert mean_hamming < 32, f"mean Hamming {mean_hamming} vs exact-angle"
+
     def test_descriptors_distinguish_keypoints(self):
         rng = np.random.default_rng(2)
         img = _textured_image(rng, h=160, w=200)

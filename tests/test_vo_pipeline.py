@@ -223,11 +223,13 @@ class TestPrefetchFeatures:
         )
         assert [f.frame_id for f in fetched] == [0, 1, 2, 3, 4]
         for f in fetched:
-            kp, desc, valid = tracker._extract(f.gray)
-            pkp, pdesc, pvalid = f.features
+            kp, desc, valid, level, angle = tracker._extract(f.gray)
+            pkp, pdesc, pvalid, plevel, pangle = f.features
             np.testing.assert_array_equal(pvalid, valid)
             np.testing.assert_allclose(pkp, kp, rtol=0, atol=1e-6)
             np.testing.assert_array_equal(pdesc, desc)
+            np.testing.assert_array_equal(plevel, level)
+            np.testing.assert_allclose(pangle, angle, rtol=0, atol=1e-6)
 
 
 class TestOpticalTrajectoriesCli:
