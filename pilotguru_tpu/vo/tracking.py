@@ -756,6 +756,9 @@ class MonocularTracker:
         # frame reuses the same HBM copy (invalidated via
         # _invalidate_device_map).
         self._dev_map = None
+        self._dev_map_sel = None  # arena indices behind the compact mirror
+        self._dev_map_count = 0
+        self._dev_map_full = None  # full-arena mirror (relocalization only)
         # Maintenance observability (never silently degrade the map).
         self.stats: Dict[str, int] = {
             "points_created": 0,
@@ -770,18 +773,94 @@ class MonocularTracker:
 
     def _invalidate_device_map(self):
         self._dev_map = None
+        self._dev_map_sel = None
+        self._dev_map_full = None
 
     def _device_map(self):
-        """(points, descriptors, candidate mask) resident on device,
-        re-uploaded only after map mutations (keyframe cadence)."""
+        """COMPACT local-map mirror resident on device, re-uploaded only
+        after map mutations (keyframe cadence).
+
+        The per-frame hot path only ever matches against the local window
+        (point_valid & _local_points — typically well under half the
+        arena), so the candidate set is gathered into a power-of-two bucket
+        before upload: every [M, K] table op in fused_track_step (the
+        per-frame VPU cost) shrinks with the bucket instead of paying the
+        full arena. Bucket floor 1024 keeps the shape count (and XLA
+        compiles) to at most {1024, 2048, ..., arena} per ride. Returns
+        (points [B, 3], desc [B, 256], mask [B], level [B]); the arena
+        indices behind the rows live in _dev_map_sel / _dev_map_count for
+        the host-side scatter-back in _track_attempt."""
         if self._dev_map is None:
+            cap = self.config.max_map_points
+            cand = np.nonzero(self.point_valid & self._local_points)[0]
+            bucket = min(1024, cap)
+            while bucket < len(cand):
+                bucket *= 2
+            bucket = min(bucket, cap)
+            sel = np.zeros(bucket, np.int64)
+            sel[: len(cand)] = cand
+            mask = np.zeros(bucket, bool)
+            mask[: len(cand)] = True
+            self._dev_map_sel = sel
+            self._dev_map_count = len(cand)
             self._dev_map = (
-                jnp.asarray(self.points),
-                jnp.asarray(self.point_desc),
-                jnp.asarray(self.point_valid & self._local_points),
-                jnp.asarray(self.point_level),
+                jnp.asarray(self.points[sel]),
+                jnp.asarray(self.point_desc[sel]),
+                jnp.asarray(mask),
+                jnp.asarray(self.point_level[sel]),
             )
         return self._dev_map
+
+    def _device_map_full(self):
+        """Full-arena device mirror — relocalization searches the WHOLE map
+        (Tracking.cc Relocalization), so it cannot use the compact local
+        mirror. Uploaded lazily (relocalization is rare) and invalidated on
+        the same choke point as the compact mirror."""
+        if self._dev_map_full is None:
+            self._dev_map_full = (
+                jnp.asarray(self.points),
+                jnp.asarray(self.point_desc),
+                jnp.asarray(self.point_valid),
+            )
+        return self._dev_map_full
+
+    def warm_track_buckets(self):
+        """Pre-compile fused_track_step for every local-map bucket this
+        tracker can grow into ({1024, 2048, ..., arena}, see _device_map),
+        with the exact static arguments and dtypes the per-frame path uses.
+        Benchmarks and latency-sensitive callers run this once up front so
+        a mid-ride bucket jump never lands an XLA compile inside the
+        steady-state frame loop."""
+        k = self.config.total_budget
+        rng = np.random.default_rng(0)
+        kp = jnp.asarray(rng.uniform(-0.5, 0.5, (k, 2)))
+        kd = jnp.asarray(rng.integers(0, 2, (k, 256)).astype(np.uint8))
+        kv = jnp.asarray(np.ones(k, bool))
+        kl = jnp.asarray(np.zeros(k, np.int32))
+        bucket = min(1024, self.config.max_map_points)
+        while True:
+            jax.block_until_ready(
+                fused_track_step(
+                    jnp.asarray(rng.normal(size=(bucket, 3))),
+                    jnp.asarray(
+                        rng.integers(0, 2, (bucket, 256)).astype(np.uint8)
+                    ),
+                    jnp.asarray(np.ones(bucket, bool)),
+                    jnp.asarray(np.zeros(bucket, np.int32)),
+                    jnp.asarray(np.zeros(6)),
+                    kp, kd, kv, kl,
+                    search_radius=self._search_rad,
+                    max_distance=matching.HAMMING_HIGH,
+                    scale=self.config.scale,
+                    level_window=self.config.level_window,
+                    refine_radius=self._refine_rad,
+                    huber_delta=self._huber,
+                    inlier_threshold=self._inlier_thresh,
+                )
+            )
+            if bucket >= self.config.max_map_points:
+                break
+            bucket *= 2
 
     # ---------------------------------------------------------------- utils
     def _extract(self, gray):
@@ -1112,7 +1191,9 @@ class MonocularTracker:
         """Projected matching + robust pose refinement around a pose guess
         (SearchByProjection + PoseOptimization analogue) — ONE fused device
         call against the HBM-resident map (see fused_track_step). Returns
-        (pose6, num_inliers, match_idx, inliers, in_view) as host values."""
+        (pose6, num_inliers, match_idx, inliers, in_view) as host values,
+        all indexed by ARENA slot (the device program runs on the compact
+        local mirror; results scatter back through _dev_map_sel)."""
         points_dev, desc_dev, cand_dev, level_dev = self._device_map()
         packed = np.asarray(
             fused_track_step(
@@ -1134,13 +1215,22 @@ class MonocularTracker:
                 inlier_threshold=self._inlier_thresh,
             )
         )
+        b = int(cand_dev.shape[0])
+        n = self._dev_map_count
+        rows = self._dev_map_sel[:n]
         m = self.config.max_map_points
+        match_idx = np.full(m, -1, np.int32)
+        match_idx[rows] = packed[7 : 7 + n].astype(np.int32)
+        inliers = np.zeros(m, bool)
+        inliers[rows] = packed[7 + b : 7 + b + n] > 0.5
+        in_view = np.zeros(m, bool)
+        in_view[rows] = packed[7 + 2 * b : 7 + 2 * b + n] > 0.5
         return (
             packed[:6].astype(np.float64),
             int(packed[6]),
-            packed[7 : 7 + m].astype(np.int32),
-            packed[7 + m : 7 + 2 * m] > 0.5,
-            packed[7 + 2 * m :] > 0.5,
+            match_idx,
+            inliers,
+            in_view,
         )
 
     def _track_reference_keyframe(self, frame: _FrameFeatures):
@@ -1220,11 +1310,11 @@ class MonocularTracker:
             # plausible-but-wrong pose must never replace the state (it
             # would poison the motion model and lose the segment within a
             # few frames).
-            points_dev, map_desc_dev, *_ = self._device_map()
+            points_dev, map_desc_dev, map_valid_dev = self._device_map_full()
             reloc = relocalize(
                 points_dev,
                 map_desc_dev,
-                jnp.asarray(self.point_valid),
+                map_valid_dev,
                 jnp.asarray(frame.kp_norm),
                 jnp.asarray(frame.desc),
                 jnp.asarray(frame.valid),
