@@ -1,11 +1,12 @@
 """Per-stage device timing of the ORB extractor at the reference budget.
 
-Times each stage of extract_orb_features (FAST response, NMS, grid top-k,
-subpixel, orientation, blur, BRIEF, resize) separately on the attached chip
-using the same chained-fori_loop methodology as bench.py (through the
-remote tunnel, per-call timing measures round-trip latency, not device
-work). Drives what to optimize next: the extract_ms term bounds the VO
-device-fps headline metric.
+Times each PRODUCTION stage of extract_orb_features (FAST response, NMS,
+grid top-k, subpixel, patch gather, orientation moments, BRIEF matmul,
+blur, resize) separately on the attached chip. Uses a two-chain-length
+differencing timer so the remote tunnel's fixed ~28 ms round-trip cancels
+exactly (a scalar-body chain otherwise times at 0.87 ms/iter of pure RTT).
+Drives what to optimize next: the extract_ms term bounds the VO device-fps
+headline metric.
 
 Run from /root/repo:  python tools/profile_extract.py
 """
@@ -24,18 +25,25 @@ import jax.numpy as jnp  # noqa: E402
 from pilotguru_tpu.vo import features as F  # noqa: E402
 
 
-def device_ms(body, args, iters=32):
-    @jax.jit
-    def chained(*xs):
-        def it(i, carry):
-            return body(*xs, carry) * 1e-20
+def device_ms(body, args, iters=128):
+    def chain(n):
+        @jax.jit
+        def chained(*xs):
+            def it(i, carry):
+                return body(*xs, carry) * 1e-20
 
-        return jax.lax.fori_loop(0, iters, it, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, it, jnp.float32(0.0))
 
-    float(np.asarray(chained(*args)))  # compile + warm
-    start = time.perf_counter()
-    float(np.asarray(chained(*args)))
-    return (time.perf_counter() - start) / iters * 1e3
+        float(np.asarray(chained(*args)))  # compile + warm
+        best = np.inf
+        for _ in range(3):
+            start = time.perf_counter()
+            float(np.asarray(chained(*args)))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    half = max(iters // 2, 1)
+    return max(chain(2 * half) - chain(half), 0.0) / half * 1e3
 
 
 def main():
@@ -53,7 +61,7 @@ def main():
         rows.append((name, ms))
         print(f"{name:28s} {ms:8.3f} ms", flush=True)
 
-    # --- L0-only stages (dominant level) ---
+    # --- L0-only stages (dominant level), production path ---
     stage("fast_scores L0", lambda x, c: F.fast_scores(x + c, thr).sum(), (img,))
     raw = F.fast_scores(img, thr)
     stage("nms3x3 L0", lambda s, c: F.nms3x3(s + c).sum(), (raw,))
@@ -69,12 +77,6 @@ def main():
         lambda s, c: F.subpixel_offsets(s + c, yx).sum(),
         (raw,),
     )
-    stage(
-        "orientations L0",
-        lambda x, c: F.orientations(x + c, yx).sum(),
-        (img,),
-    )
-    angle = F.orientations(img, yx)
     from pilotguru_tpu.ml.augmentation import gaussian_blur
 
     stage(
@@ -84,11 +86,23 @@ def main():
     )
     smoothed = gaussian_blur(img[None, :, :, None], 2.0)[0, :, :, 0]
     stage(
-        "brief L0",
-        lambda x, c: F.brief_descriptors(x + c, yx, angle)
+        "patch_gather L0",
+        lambda x, c: F.extract_patches(x + c, yx).sum(),
+        (smoothed,),
+    )
+    patches = F.extract_patches(smoothed, yx)
+    stage(
+        "orient_moments L0",
+        lambda p, c: F.orientations_from_patches(p + c).sum(),
+        (patches,),
+    )
+    angle = F.orientations_from_patches(patches)
+    stage(
+        "brief_matmul L0",
+        lambda p, c: F.brief_from_patches(p + c, angle)
         .astype(jnp.float32)
         .sum(),
-        (smoothed,),
+        (patches,),
     )
     stage(
         "resize->L1",
@@ -105,7 +119,7 @@ def main():
             x + c, num_levels=levels, total_budget=budget
         ).xy.sum(),
         (img,),
-        iters=8,
+        iters=16,
     )
     batch = jnp.asarray(rng.uniform(size=(8, h, w)).astype(np.float32))
     stage(
@@ -114,7 +128,7 @@ def main():
             x + c, num_levels=levels, total_budget=budget
         ).xy.sum(),
         (batch,),
-        iters=4,
+        iters=8,
     )
 
     total_l0 = sum(ms for name, ms in rows if name.endswith("L0"))
