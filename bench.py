@@ -31,6 +31,19 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the remote-chip tunnel pays 20-40 s per
+# compile, and the VO tracker alone compiles dozens of shape-bucketed
+# programs. The cache lives in the repo (gitignored) so repeat bench runs —
+# including the driver's end-of-round run after an in-session warm run —
+# skip every already-seen program.
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_compile_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def make_ride(duration_sec=300.0, imu_hz=200.0, gps_hz=1.0, seed=0):
     rng = np.random.default_rng(seed)

@@ -209,6 +209,8 @@ def render_parallax_video(
     dot_scale: float = 7.0 / 250.0,
     period_frames: float = 0.0,
     distortion: tuple = (0.0, 0.0, 0.0, 0.0),
+    forward_speed: float = 0.015,
+    corridor: bool = False,
 ):
     """Render a curving drive through random textured billboards.
 
@@ -223,12 +225,27 @@ def render_parallax_video(
     k1, k2, p1, p2 = distortion
     rng = np.random.default_rng(seed)
     cx, cy = width / 2.0, height / 2.0
-    pts = np.stack(
-        [rng.uniform(-8, 8, num_points), rng.uniform(-4, 4, num_points),
-         rng.uniform(4, 16, num_points)],
-        axis=1,
-    )
-    shade = rng.integers(90, 255, num_points)
+    if corridor:
+        # Long-drive mode: strew billboards along the WHOLE path so the
+        # scenery continuously turns over (old points leave the frustum,
+        # fresh ones appear) — the map-pressure regime of a multi-minute
+        # ride, which a fixed 12-unit-deep cloud never reaches. Density is
+        # kept at num_points per 12 z-units of corridor.
+        depth = forward_speed * frames + 18.0
+        n = max(int(num_points * depth / 12.0), num_points)
+        pts = np.stack(
+            [rng.uniform(-8, 8, n), rng.uniform(-4, 4, n),
+             rng.uniform(-2, depth, n)],
+            axis=1,
+        )
+        shade = rng.integers(90, 255, n)
+    else:
+        pts = np.stack(
+            [rng.uniform(-8, 8, num_points), rng.uniform(-4, 4, num_points),
+             rng.uniform(4, 16, num_points)],
+            axis=1,
+        )
+        shade = rng.integers(90, 255, num_points)
     # Lateral-swing period: any tracked SEGMENT must see a full 2-D sweep,
     # or the trajectory-plane test (lambda3 > 1e-2 * lambda2,
     # track_image_sequence.cc:85-92) rejects the near-collinear stretch.
@@ -238,11 +255,20 @@ def render_parallax_video(
         path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (width, height)
     )
     for t in range(frames):
-        cam_t = np.array([0.9 * np.sin(2 * np.pi * t / period), 0.0, 0.015 * t])
+        cam_t = np.array(
+            [0.9 * np.sin(2 * np.pi * t / period), 0.0, forward_speed * t]
+        )
         yaw = yaw_of(t)
         c, s = np.cos(yaw), np.sin(yaw)
         rot = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
         local = (pts - cam_t) @ rot.T
+        sh = shade
+        if corridor:
+            # Cull beyond the 16-unit visibility window of the non-corridor
+            # cloud (plus margin): keeps per-frame draw cost flat and the
+            # feature field statistically identical to the short-ride mode.
+            keep = (local[:, 2] > 0.4) & (local[:, 2] < 18.0)
+            local, sh = local[keep], shade[keep]
         img = np.full((height, width), 25, np.uint8)
         for i in np.argsort(-local[:, 2]):
             x, y, z = local[i]
@@ -263,7 +289,7 @@ def render_parallax_video(
             if -r <= u < width + r and -r <= v < height + r:
                 cv2.rectangle(
                     img, (int(u) - r, int(v) - r), (int(u) + r, int(v) + r),
-                    int(shade[i]), -1,
+                    int(sh[i]), -1,
                 )
         writer.write(cv2.cvtColor(img, cv2.COLOR_GRAY2BGR))
     writer.release()

@@ -400,3 +400,89 @@ class TestOpticalTrajectoriesCli:
             ).replace(".json", ".mp4")
             assert viz.exists(), f"missing visualize video {viz}"
             assert frame_count(viz) >= frame_count(seg_video)
+
+    def test_long_ride_soak(self, tmp_path):
+        """Long-ride soak at the reference FEATURE budget (2000 feat / 8
+        levels) with continuous scenery turnover: billboards are strewn
+        along the whole path (corridor mode) so map points constantly leave
+        the frustum and fresh ones are triangulated — the map-pressure
+        regime of a multi-minute ride, which fixed-cloud tests never reach.
+        Resolution is reduced (480x360) to keep the 1-core-host slow tier
+        affordable; tools/soak_vo.py runs the full-size variant on real
+        hardware (observed behavior recorded in PARITY.md §map pressure).
+
+        Asserts: no silent point loss (arena culling/recycling keeps up),
+        bounded drift (turn-rate fidelity holds over the FINAL third as
+        well as the whole segment), and no more than one mid-ride LOST."""
+        from pilotguru_tpu.formats import json_io
+        from pilotguru_tpu.vo.pipeline import (
+            prefetch_features,
+            track_video_segments,
+            tracker_from_settings,
+            video_frames,
+        )
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "long_ride.mp4")
+        num_frames = 240
+        fx, fy, cx, cy, true_rates = render_parallax_video(
+            video, width=480, height=360, frames=num_frames, num_points=500,
+            fx=260.0, period_frames=120.0, forward_speed=0.1, corridor=True,
+        )
+        settings = CameraSettings(
+            fx=fx, fy=fy, cx=cx, cy=cy, orb_features=2000, orb_levels=8,
+        )
+
+        trackers = []
+
+        def make_tracker():
+            t = tracker_from_settings(settings)
+            trackers.append(t)
+            return t
+
+        probe = tracker_from_settings(settings)
+        frames_iter = prefetch_features(
+            video_frames(video), probe.camera, probe.config, 8
+        )
+        out_dir = tmp_path / "out"
+        segments, consumed = track_video_segments(
+            frames_iter, settings, str(out_dir), make_tracker=make_tracker,
+            feature_batch_size=0,
+        )
+        assert consumed == num_frames
+        assert segments >= 1, "no accepted segment on the soak ride"
+        assert len(trackers) <= 2, (
+            f"{len(trackers) - 1} mid-ride tracking losses over "
+            f"{num_frames} frames"
+        )
+
+        stats = {}
+        for t in trackers:
+            for k, v in t.stats.items():
+                stats[k] = stats.get(k, 0) + v
+        # Scenery turnover must actually exercise map maintenance: points
+        # are continuously created and culled as the corridor scrolls by.
+        assert stats["points_created"] > 2000, stats
+        assert stats["points_culled"] > 500, stats
+        # The arena never silently loses points: every allocation either
+        # found a free slot or recycled a reported victim.
+        assert stats["points_dropped"] == 0, stats
+
+        covered = 0
+        for i in range(segments):
+            root = json_io.read_json(str(out_dir / f"trajectory-{i:04d}.json"))
+            pts = root["trajectory"]
+            covered += len(pts)
+            rates = np.array([p.get("angular_velocity", 0.0) for p in pts])
+            fids = np.array([p["frame_id"] for p in pts])
+            corr = np.corrcoef(rates[3:], true_rates[fids][3:])[0, 1]
+            assert abs(corr) > 0.85, f"segment {i} corr {corr}"
+            # Bounded drift: the LAST third of the segment tracks the true
+            # yaw rate as faithfully as the whole (no slow map corruption).
+            n = len(pts)
+            tail = slice(2 * n // 3, n)
+            tail_corr = np.corrcoef(rates[tail], true_rates[fids][tail])[0, 1]
+            assert abs(tail_corr) > 0.8, f"segment {i} tail corr {tail_corr}"
+        assert covered >= 0.9 * num_frames, (
+            f"segments cover only {covered}/{num_frames} frames"
+        )
