@@ -473,8 +473,17 @@ def extract_orb_features_batch(
     program: fewer dispatch round-trips (decisive on remote-attached chips)
     and better chip utilization than per-frame calls. Restarted segments
     reuse already-extracted features for free.
+
+    Frames run under ``lax.map`` (sequential inside the one program), NOT
+    ``vmap``: measured on the chip at the reference budget, the vmapped
+    program runs 4.34 ms/frame vs 1.88 ms/frame for the mapped one (batch
+    8, 720p) — with a leading batch dimension XLA stops fusing the 16
+    FAST circle taps into one image pass (2.65x/frame penalty) and lowers
+    the per-keypoint patch slices to a slower 2-level gather (1.79x).
+    Sequential per-frame execution keeps every stage at its single-frame
+    cost while still paying only one dispatch for the whole batch.
     """
-    return jax.vmap(
+    return jax.lax.map(
         lambda g: extract_orb_features(
             g,
             num_levels=num_levels,
@@ -482,5 +491,6 @@ def extract_orb_features_batch(
             threshold=threshold,
             total_budget=total_budget,
             cell=cell,
-        )
-    )(images)
+        ),
+        images,
+    )
