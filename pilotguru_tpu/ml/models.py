@@ -45,6 +45,13 @@ NET_NAME = "net_name"
 NET_HEAD_DIMS = "net_head_dims"
 LABEL_DIMENSIONS = "label_dimensions"
 LAYER_BLOCKS_OPTIONS = "layer_blocks_options"
+# Extension (not in the reference): MXU compute precision. Parameters,
+# optimizer state, batch-norm statistics and the loss stay float32; conv /
+# dense COMPUTE runs in this dtype ("bfloat16" doubles MXU throughput and
+# halves activation HBM traffic on TPU with f32 accumulation — the
+# reference's torch path is f32-only on a 2017 GPU). Unset = bfloat16 on
+# TPU, float32 elsewhere (CPU bf16 is emulated and slower).
+COMPUTE_DTYPE = "compute_dtype"
 
 TOY_NET_NAME = "toy"  # extension: the reference never registered ToyConvNet
 NVIDIA_NET_NAME = "nvidia"
@@ -59,6 +66,14 @@ DEFAULT_LAYER_BLOCKS_OPTIONS = {
     CONV: {BATCHNORM: True, ACTIVATION: RELU, DROPOUT: DROPOUT_2D},
     FC: {BATCHNORM: True, ACTIVATION: RELU, DROPOUT: DROPOUT_VANILLA},
 }
+
+
+def resolve_compute_dtype(options: Dict[str, Any]):
+    """Computation dtype for conv/dense blocks (see COMPUTE_DTYPE)."""
+    name = options.get(COMPUTE_DTYPE)
+    if name is None:
+        name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
 def _activation(name: str):
@@ -100,13 +115,18 @@ def _dropout(kind: str, rate: float):
 
 
 class ConvBlock(nn.Module):
-    """Conv -> [BatchNorm] -> activation -> [dropout] (models.py:133-143)."""
+    """Conv -> [BatchNorm] -> activation -> [dropout] (models.py:133-143).
+
+    ``dtype``: MXU compute precision for the conv (params stay float32 via
+    flax's param_dtype default); batch-norm statistics always run float32.
+    """
 
     features: int
     kernel: int
     stride: int
     options: Dict[str, Any]
     dropout_prob: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -115,10 +135,14 @@ class ConvBlock(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding="VALID",
+            dtype=self.dtype,
         )(x)
         if self.options[BATCHNORM]:
             # torch BatchNorm default momentum 0.1 == flax momentum 0.9.
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=jnp.float32
+            )(x)
+            x = x.astype(self.dtype)
         x = _activation(self.options[ACTIVATION])(x)
         if self.dropout_prob > 0:
             x = _dropout(self.options[DROPOUT], self.dropout_prob)(
@@ -133,13 +157,17 @@ class FcBlock(nn.Module):
     features: int
     options: Dict[str, Any]
     dropout_prob: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features)(x)
+        x = nn.Dense(self.features, dtype=self.dtype)(x)
         if self.options[BATCHNORM]:
             # torch BatchNorm default momentum 0.1 == flax momentum 0.9.
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=jnp.float32
+            )(x)
+            x = x.astype(self.dtype)
         x = _activation(self.options[ACTIVATION])(x)
         if self.dropout_prob > 0:
             x = _dropout(self.options[DROPOUT], self.dropout_prob)(
@@ -199,16 +227,20 @@ class _ImageNetBase(nn.Module):
     def _dropout_prob(self):
         return self.options.get(DROPOUT_PROB, 0.0)
 
+    @property
+    def _cdtype(self):
+        return resolve_compute_dtype(self.options)
+
 
 class ToyConvNet(_ImageNetBase):
     """3-conv + 3-fc debugging net (models.py:218-242)."""
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        blocks, p = self._blocks, 0.0
+        blocks, p, dt = self._blocks, 0.0, self._cdtype
         x = inputs[FRAME_IMG]
         for features in (6, 16, 1):
-            x = ConvBlock(features, 5, 1, blocks[CONV], p)(x, train)
+            x = ConvBlock(features, 5, 1, blocks[CONV], p, dtype=dt)(x, train)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = _flatten(x)
         act = _activation(blocks[FC][ACTIVATION])
@@ -224,19 +256,19 @@ class NvidiaSingleFrameNet(_ImageNetBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        blocks, p = self._blocks, self._dropout_prob
+        blocks, p, dt = self._blocks, self._dropout_prob, self._cdtype
         head = self.options[NET_HEAD_DIMS]
         x = inputs[FRAME_IMG]
-        x = ConvBlock(24, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(36, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(48, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(64, 3, 1, blocks[CONV], p)(x, train)
-        x = ConvBlock(64, 3, 1, blocks[CONV], p)(x, train)
+        x = ConvBlock(24, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(36, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(48, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(64, 3, 1, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(64, 3, 1, blocks[CONV], p, dtype=dt)(x, train)
         x = _flatten(x)
-        x = FcBlock(1164, blocks[FC], p)(x, train)
-        x = FcBlock(max(100, head), blocks[FC], 0.0)(x, train)
-        x = FcBlock(max(50, head), blocks[FC], 0.0)(x, train)
-        x = FcBlock(head, blocks[FC], 0.0)(x, train)
+        x = FcBlock(1164, blocks[FC], p, dtype=dt)(x, train)
+        x = FcBlock(max(100, head), blocks[FC], 0.0, dtype=dt)(x, train)
+        x = FcBlock(max(50, head), blocks[FC], 0.0, dtype=dt)(x, train)
+        x = FcBlock(head, blocks[FC], 0.0, dtype=dt)(x, train)
         x = nn.Dense(self.options[LABEL_DIMENSIONS])(x)
         return self._apply_post_transforms(x, inputs)
 
@@ -246,13 +278,13 @@ class RamboCommaNet(_ImageNetBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        blocks, p = self._blocks, self._dropout_prob
+        blocks, p, dt = self._blocks, self._dropout_prob, self._cdtype
         x = inputs[FRAME_IMG]
-        x = ConvBlock(16, 8, 4, blocks[CONV], p)(x, train)
-        x = ConvBlock(32, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(64, 5, 2, blocks[CONV], p)(x, train)
+        x = ConvBlock(16, 8, 4, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(32, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(64, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
         x = _flatten(x)
-        x = FcBlock(512, blocks[FC], p)(x, train)
+        x = FcBlock(512, blocks[FC], p, dtype=dt)(x, train)
         x = nn.relu(nn.Dense(self.options[NET_HEAD_DIMS])(x))
         x = nn.Dense(self.options[LABEL_DIMENSIONS])(x)
         return self._apply_post_transforms(x, inputs)
@@ -265,18 +297,18 @@ class RamboNVidiaNet(_ImageNetBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        blocks, p = self._blocks, self._dropout_prob
+        blocks, p, dt = self._blocks, self._dropout_prob, self._cdtype
         head = self.options[NET_HEAD_DIMS]
         x = inputs[FRAME_IMG]
         if not self.skip_first_conv_layer:
-            x = ConvBlock(24, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(36, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(48, 5, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(64, 3, 2, blocks[CONV], p)(x, train)
-        x = ConvBlock(64, 3, 2, blocks[CONV], p)(x, train)
+            x = ConvBlock(24, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(36, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(48, 5, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(64, 3, 2, blocks[CONV], p, dtype=dt)(x, train)
+        x = ConvBlock(64, 3, 2, blocks[CONV], p, dtype=dt)(x, train)
         x = _flatten(x)
-        x = FcBlock(1164, blocks[FC], p)(x, train)
-        x = FcBlock(max(100, head), blocks[FC], 0.0)(x, train)
+        x = FcBlock(1164, blocks[FC], p, dtype=dt)(x, train)
+        x = FcBlock(max(100, head), blocks[FC], 0.0, dtype=dt)(x, train)
         x = nn.relu(nn.Dense(head)(x))
         x = nn.Dense(self.options[LABEL_DIMENSIONS])(x)
         return self._apply_post_transforms(x, inputs)
@@ -287,17 +319,17 @@ class DeepNVidiaNet(_ImageNetBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        blocks, p = self._blocks, self._dropout_prob
+        blocks, p, dt = self._blocks, self._dropout_prob, self._cdtype
         head = self.options[NET_HEAD_DIMS]
         x = inputs[FRAME_IMG]
         for features, kernel, stride in (
             (36, 5, 2), (48, 5, 2), (48, 5, 1), (64, 3, 1),
             (64, 3, 2), (64, 3, 1), (64, 3, 1), (64, 3, 1),
         ):
-            x = ConvBlock(features, kernel, stride, blocks[CONV], p)(x, train)
+            x = ConvBlock(features, kernel, stride, blocks[CONV], p, dtype=dt)(x, train)
         x = _flatten(x)
-        x = FcBlock(1164, blocks[FC], p)(x, train)
-        x = FcBlock(max(100, head), blocks[FC], p)(x, train)
+        x = FcBlock(1164, blocks[FC], p, dtype=dt)(x, train)
+        x = FcBlock(max(100, head), blocks[FC], p, dtype=dt)(x, train)
         x = _activation(blocks[FC][ACTIVATION])(nn.Dense(head)(x))
         x = nn.Dense(self.options[LABEL_DIMENSIONS])(x)
         return self._apply_post_transforms(x, inputs)
@@ -313,7 +345,7 @@ class UdacityRamboNet(_ImageNetBase):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        p = self._dropout_prob
+        p, dt = self._dropout_prob, self._cdtype
         head = self.options[NET_HEAD_DIMS]
         rambo_blocks = {BATCHNORM: True, ACTIVATION: RELU, DROPOUT: DROPOUT_2D}
         rambo_fc = {BATCHNORM: True, ACTIVATION: RELU, DROPOUT: DROPOUT_VANILLA}
@@ -321,25 +353,25 @@ class UdacityRamboNet(_ImageNetBase):
 
         comma = x
         for f, k, s in ((16, 8, 4), (32, 5, 2), (64, 5, 2)):
-            comma = ConvBlock(f, k, s, rambo_blocks, p)(comma, train)
+            comma = ConvBlock(f, k, s, rambo_blocks, p, dtype=dt)(comma, train)
         comma = _flatten(comma)
-        comma = FcBlock(512, rambo_fc, p)(comma, train)
+        comma = FcBlock(512, rambo_fc, p, dtype=dt)(comma, train)
         comma = nn.Dense(head)(comma)
 
         nv1 = x
         for f, k, s in ((24, 5, 2), (36, 5, 2), (48, 5, 2), (64, 3, 2), (64, 3, 2)):
-            nv1 = ConvBlock(f, k, s, rambo_blocks, p)(nv1, train)
+            nv1 = ConvBlock(f, k, s, rambo_blocks, p, dtype=dt)(nv1, train)
         nv1 = _flatten(nv1)
-        nv1 = FcBlock(100, rambo_fc, p)(nv1, train)
-        nv1 = FcBlock(50, rambo_fc, 0.0)(nv1, train)
+        nv1 = FcBlock(100, rambo_fc, p, dtype=dt)(nv1, train)
+        nv1 = FcBlock(50, rambo_fc, 0.0, dtype=dt)(nv1, train)
         nv1 = nn.Dense(head)(nv1)
 
         nv2 = x
         for f, k, s in ((36, 5, 2), (48, 5, 2), (64, 3, 2), (64, 3, 2)):
-            nv2 = ConvBlock(f, k, s, rambo_blocks, p)(nv2, train)
+            nv2 = ConvBlock(f, k, s, rambo_blocks, p, dtype=dt)(nv2, train)
         nv2 = _flatten(nv2)
-        nv2 = FcBlock(100, rambo_fc, p)(nv2, train)
-        nv2 = FcBlock(50, rambo_fc, 0.0)(nv2, train)
+        nv2 = FcBlock(100, rambo_fc, p, dtype=dt)(nv2, train)
+        nv2 = FcBlock(50, rambo_fc, 0.0, dtype=dt)(nv2, train)
         nv2 = nn.Dense(head)(nv2)
 
         merged = jnp.concatenate([comma, nv1, nv2], axis=1)

@@ -111,10 +111,17 @@ def make_train_step(model, tx, settings: TrainSettings):
 
     def step(state: EnsembleState, inputs, labels, weights, use_mask, rng):
         """inputs: dict of [B, ...]; labels [B, L]; weights [N, B];
-        use_mask [N] bool; returns (state, mean_loss [N], per_example [N, B])."""
+        use_mask [N] bool; returns (state, mean_loss [N], per_example [N, B]).
+
+        Images may arrive uint8: conversion to float happens ON DEVICE so
+        the host->device batch transfer moves a quarter of the bytes (the
+        reference converts on host, io_helpers.py ImageFrameDataset)."""
         aug_rng, dropout_rng = jax.random.split(rng)
+        images = inputs[models_lib.FRAME_IMG]
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         images, labels = augment_batch(
-            aug_rng, inputs[models_lib.FRAME_IMG], labels, settings.augment
+            aug_rng, images, labels, settings.augment
         )
         net_inputs = dict(inputs)
         net_inputs[models_lib.FRAME_IMG] = images
@@ -167,6 +174,8 @@ def make_eval_step(model, settings: TrainSettings):
 
     def step(state: EnsembleState, inputs, labels):
         images = inputs[models_lib.FRAME_IMG]
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         if target_width > 0:
             images = center_crop_width(images, target_width)
         net_inputs = dict(inputs)
@@ -232,6 +241,11 @@ class TrainLogEvent:
     train_loss_per_net: Optional[List[float]] = None
     val_loss_per_net: Optional[List[float]] = None
     improvement_marker: str = ""
+    # Effective per-net LR multipliers AFTER this epoch's plateau update —
+    # makes caller-installed fold ratios (grouped hyperparams search) and
+    # plateau decay composition observable (regression tripwire for the
+    # round-2 per-fold LR wipe at the epoch-end write-back).
+    lr_scale_per_net: Optional[List[float]] = None
 
 
 def train_models(
@@ -270,10 +284,9 @@ def train_models(
     def gather_batch(dataset, idx):
         inputs = {}
         for name in input_names:
-            arr = dataset[name][idx]
-            if name == models_lib.FRAME_IMG:
-                arr = data_lib.images_to_float(arr)
-            inputs[name] = arr
+            # Frame images stay uint8 through the host->device copy (a
+            # quarter of the bandwidth); the jitted steps convert on device.
+            inputs[name] = dataset[name][idx]
         labels = np.asarray(dataset[label_name][idx], np.float32)
         if labels.ndim == 1:
             labels = labels[:, None]
@@ -291,27 +304,44 @@ def train_models(
         os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     log_file = open(log_path, "a") if log_path else None
 
+    def stage_batch(idx):
+        """Assemble batch k+1 on host and START its device transfer while
+        the device still runs batch k (device_put is asynchronous): the
+        input pipeline double-buffers against compute instead of feeding
+        the step synchronously like the reference's per-batch .cuda() copy
+        (optimize.py:104-105)."""
+        inputs, labels = gather_batch(train_data, idx)
+        weights = np.stack([w.get_weights(idx) for w in weighters])
+        use_mask = host_rng.uniform(size=num_nets) < settings.batch_use_prob
+        staged = jax.device_put(
+            (inputs, labels, weights.astype(np.float32))
+        )
+        return staged, use_mask, idx
+
     for epoch in range(settings.epochs):
         epoch_start = time.time()
         running = np.zeros((num_nets,))
         seen = np.zeros((num_nets,), np.int64)
-        for idx in data_lib.batches(num_train, settings.batch_size, host_rng):
-            inputs, labels = gather_batch(train_data, idx)
-            weights = np.stack([w.get_weights(idx) for w in weighters])
-            use_mask = (
-                host_rng.uniform(size=num_nets) < settings.batch_use_prob
-            )
+        # Per-step results stay on device during the epoch; pulls and
+        # weighter registration happen once at epoch end (registration
+        # order preserved — weighter.get_weights only changes at step(),
+        # so deferral is exact) instead of blocking every step.
+        pending: List[tuple] = []
+        batch_iter = data_lib.batches(num_train, settings.batch_size, host_rng)
+        nxt = next(batch_iter, None)
+        staged = stage_batch(nxt) if nxt is not None else None
+        while staged is not None:
+            (inputs, labels, weights), use_mask, idx = staged
+            nxt = next(batch_iter, None)
+            staged = stage_batch(nxt) if nxt is not None else None
             if not use_mask.any():
                 continue
             step_key, sub = jax.random.split(step_key)
             state, losses, per_example = train_step(
-                state,
-                inputs,
-                jnp.asarray(labels),
-                jnp.asarray(weights),
-                jnp.asarray(use_mask),
-                sub,
+                state, inputs, labels, weights, jnp.asarray(use_mask), sub
             )
+            pending.append((idx, use_mask, losses, per_example))
+        for idx, use_mask, losses, per_example in pending:
             losses_np = np.asarray(losses)
             per_example_np = np.asarray(per_example)
             for n, w in enumerate(weighters):
@@ -364,6 +394,7 @@ def train_models(
             ),
             val_loss_per_net=list(np.round(val_avg, 8)),
             improvement_marker=marker.strip(),
+            lr_scale_per_net=[float(s) for s in lr_scale],
         )
         log.append(event)
         if print_log:

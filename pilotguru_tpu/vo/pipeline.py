@@ -30,12 +30,29 @@ from pilotguru_tpu.vo.tracking import (
 
 @dataclass
 class VideoFrame:
-    gray: np.ndarray  # [H, W] float32 in [0, 1]
+    gray: np.ndarray  # [H, W] uint8 (preferred) or float32 in [0, 1]
     frame_id: int
     time_usec: int
-    # Pre-extracted (kp_norm, desc, valid) from the batched prefetcher;
-    # None means the tracker extracts on its own.
+    # Pre-extracted (kp_norm, desc, valid, level, angle) from the batched
+    # prefetcher (host arrays; desc may stay device-resident); None means
+    # the tracker extracts on its own.
     features: Optional[tuple] = None
+    # Device-resident (kp_norm, desc, valid, level) rows from the batched
+    # prefetcher — the chunked tracker consumes these with zero re-upload.
+    dev_features: Optional[tuple] = None
+
+
+def gray_as_float(gray: np.ndarray) -> np.ndarray:
+    """[H, W] image as float32 in [0, 1] regardless of stored dtype."""
+    if gray.dtype == np.uint8:
+        return gray.astype(np.float32) / 255.0
+    return gray
+
+
+def gray_as_u8(gray: np.ndarray) -> np.ndarray:
+    if gray.dtype == np.uint8:
+        return gray
+    return np.clip(gray * 255.0, 0.0, 255.0).astype(np.uint8)
 
 
 def prefetch_features(
@@ -48,78 +65,126 @@ def prefetch_features(
     """Attach ORB features to frames, extracted in whole-batch device calls.
 
     Extraction is stateless per frame while tracking is sequential, so
-    batching it amortizes dispatch latency and keeps the chip busy; one
-    host transfer moves the whole batch's keypoints back. Short tail
-    batches are padded by repetition (results sliced away).
+    batching it amortizes dispatch latency and keeps the chip busy. The
+    host round trip is minimized to ONE blocking pull per batch: keypoint
+    normalization runs on device (normalize_keypoints_device), every
+    per-keypoint quantity rides back in a single packed array whose host
+    copy is started asynchronously, and batches run ONE AHEAD — batch k+1
+    is dispatched before batch k's results are consumed, so in steady
+    state the pull finds the bytes already landed. uint8 frames upload at
+    a quarter of the float bandwidth and convert on device. Short tail
+    batches are padded by repetition (results sliced away). Device arrays
+    (normalized keypoints, descriptors, validity, levels) stay resident
+    per frame in ``dev_features`` for the chunked tracker.
 
     Extraction is the embarrassingly-parallel half of VO (SURVEY section
-    2.8): with multiple devices the frame batch is sharded over a 1-D
-    ("frames",) mesh and the vmapped extractor partitions cleanly — each
-    device runs its frames' pyramids with zero collectives, and only the
-    fixed-size keypoint arrays gather back. ``devices``: explicit device
-    list (defaults to all local devices; single-device keeps the plain
-    path). batch_size is rounded up to a device-count multiple by the
-    existing tail padding.
+    2.8): with multiple devices the batch is sharded over a 1-D
+    ("frames",) mesh via ``shard_map`` — each device runs its shard of
+    frames through the (sequential lax.map) extractor with zero
+    collectives, so devices proceed in parallel while XLA keeps the
+    single-frame fusion the in-program map preserves. ``devices``:
+    explicit device list (defaults to all local devices; single-device
+    keeps the plain path). batch_size is rounded up to a device-count
+    multiple by the existing tail padding.
     """
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from pilotguru_tpu.vo.features import extract_orb_features_batch
+    from pilotguru_tpu.vo.tracking import normalize_keypoints_device
 
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)
     if n_dev > 1:
         batch_size = -(-batch_size // n_dev) * n_dev
-        frames_mesh = Mesh(np.array(devices), ("frames",))
-        batch_sharding = NamedSharding(frames_mesh, P("frames", None, None))
-    else:
-        batch_sharding = None
 
-    pending: list[VideoFrame] = []
-
-    def flush():
-        n = len(pending)
-        grays = [f.gray for f in pending]
-        while len(grays) < batch_size:  # pad tail batch, reuse compile
-            grays.append(grays[-1])
-        stacked = jnp.asarray(np.stack(grays), jnp.float32)
-        if batch_sharding is not None:
-            stacked = jax.device_put(stacked, batch_sharding)
+    def extract_pack(images):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         kps = extract_orb_features_batch(
-            stacked,
+            images,
             num_levels=config.num_levels,
             scale=config.scale,
             total_budget=config.total_budget,
             threshold=config.fast_threshold,
         )
-        xy = np.asarray(kps.xy)
-        valid = np.asarray(kps.valid)
-        level = np.asarray(kps.level)
-        angle = np.asarray(kps.angle)
-        for i in range(n):
-            f = pending[i]
-            # Keypoints/validity/levels/angles come back to host (small,
-            # needed for bookkeeping); descriptors STAY on device — the
-            # per-frame matching consumes them there, and the tracker pulls
-            # a host copy only when a frame is promoted to keyframe.
-            f.features = (
-                camera.normalize(xy[i]),
-                kps.descriptors[i],
-                valid[i],
-                level[i],
-                angle[i],
-            )
-            yield f
-        pending.clear()
+        kp_norm = normalize_keypoints_device(kps.xy, camera)
+        dt = kp_norm.dtype
+        packed = jnp.concatenate(
+            [
+                kp_norm,
+                kps.valid.astype(dt)[..., None],
+                kps.level.astype(dt)[..., None],
+                kps.angle.astype(dt)[..., None],
+            ],
+            axis=-1,
+        )
+        return packed, kp_norm, kps.descriptors, kps.valid, kps.level
 
+    if n_dev > 1:
+        mesh = Mesh(np.asarray(devices), ("frames",))
+        extract_pack = jax.shard_map(
+            extract_pack,
+            mesh=mesh,
+            in_specs=P("frames"),
+            out_specs=(P("frames"),) * 5,
+        )
+        batch_sharding = NamedSharding(mesh, P("frames"))
+    else:
+        batch_sharding = None
+    extract_pack = jax.jit(extract_pack)
+
+    def launch(batch):
+        grays = [np.asarray(f.gray) for f in batch]
+        while len(grays) < batch_size:  # pad tail batch, reuse compile
+            grays.append(grays[-1])
+        stacked = np.stack(grays)
+        if batch_sharding is not None:
+            device_batch = jax.device_put(stacked, batch_sharding)
+        else:
+            device_batch = jnp.asarray(stacked)
+        packed, kp_norm, desc, valid, level = extract_pack(device_batch)
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        return batch, packed, kp_norm, desc, valid, level
+
+    def finish(launched):
+        batch, packed, kp_norm, desc, valid, level = launched
+        host = np.asarray(packed)
+        for i, f in enumerate(batch):
+            # Per-keypoint bookkeeping comes back in the one packed pull;
+            # descriptors STAY on device — matching consumes them there,
+            # and the tracker pulls a host copy only when a frame is
+            # promoted to keyframe.
+            f.features = (
+                host[i, :, :2],
+                desc[i],
+                host[i, :, 2] > 0.5,
+                host[i, :, 3].astype(np.int32),
+                host[i, :, 4],
+            )
+            f.dev_features = (kp_norm[i], desc[i], valid[i], level[i])
+            yield f
+
+    in_flight = None
+    pending: list[VideoFrame] = []
     for frame in frames:
         pending.append(frame)
         if len(pending) == batch_size:
-            yield from flush()
+            launched = launch(pending)
+            pending = []
+            if in_flight is not None:
+                yield from finish(in_flight)
+            in_flight = launched
     if pending:
-        yield from flush()
+        launched = launch(pending)
+        if in_flight is not None:
+            yield from finish(in_flight)
+        in_flight = launched
+    if in_flight is not None:
+        yield from finish(in_flight)
 
 
 def video_frames(
@@ -128,14 +193,34 @@ def video_frames(
     horizontal_flip: bool = False,
     scale: float = 1.0,
 ) -> Iterator[VideoFrame]:
-    """Decode a ride video to grayscale frames with timestamps.
+    """Decode a ride video to grayscale uint8 frames with timestamps.
 
     Prefers the native libav reader (native/libpgvideo.so: rotation
     metadata + exact presentation timestamps, mirroring the reference's
     src/io/image_sequence_reader.cc); falls back to cv2 when the library is
-    not built. Flips mirror --vertical_flip/--horizontal_flip.
+    not built. Flips mirror --vertical_flip/--horizontal_flip. Frames stay
+    uint8 (the extractor converts on device — a quarter of the float
+    upload bandwidth).
     """
     from pilotguru_tpu.video import native as native_video
+    from pilotguru_tpu.video.io import is_image_list, read_image_list_rgb
+
+    if is_image_list(video_path):
+        # TUM-style image list (MakeImageSequenceSource's directory+index
+        # input, image_sequence_reader.cc:19-46).
+        import cv2
+
+        for frame_id, time_usec, rgb in read_image_list_rgb(
+            video_path, vertical_flip, horizontal_flip
+        ):
+            gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+            if scale != 1.0:
+                gray = cv2.resize(
+                    gray, None, fx=scale, fy=scale,
+                    interpolation=cv2.INTER_AREA,
+                )
+            yield VideoFrame(gray, frame_id, time_usec)
+        return
 
     if native_video.available():
         import cv2
@@ -151,9 +236,7 @@ def video_frames(
                         gray, None, fx=scale, fy=scale,
                         interpolation=cv2.INTER_AREA,
                     )
-                yield VideoFrame(
-                    gray.astype(np.float32) / 255.0, frame_id, pts_usec
-                )
+                yield VideoFrame(gray, frame_id, pts_usec)
                 frame_id += 1
         return
 
@@ -179,9 +262,7 @@ def video_frames(
             gray = gray[:, ::-1]
         msec = cap.get(cv2.CAP_PROP_POS_MSEC)
         time_usec = int(msec * 1000) if msec > 0 else int(frame_id / fps * 1e6)
-        yield VideoFrame(
-            gray.astype(np.float32) / 255.0, frame_id, time_usec
-        )
+        yield VideoFrame(gray, frame_id, time_usec)
         frame_id += 1
     cap.release()
 
@@ -247,13 +328,14 @@ def postprocess_segment(
     return trajectory
 
 
-def _overlay_frame(gray, tracker, frame, state):
+def _overlay_frame(gray, tracker, frame, state, rows):
     """Render the tracked-feature overlay for one frame (headless stand-in
     for the reference's live FrameDrawer window): detected keypoints as
-    dots, map-point inlier tracks as circles, plus a status line."""
+    dots, map-point inlier tracks (``rows``: tracked keypoint indices) as
+    circles, plus a status line."""
     import cv2
 
-    img = cv2.cvtColor((gray * 255.0).astype(np.uint8), cv2.COLOR_GRAY2BGR)
+    img = cv2.cvtColor(gray_as_u8(gray), cv2.COLOR_GRAY2BGR)
     if frame.features is not None:
         kp_norm, _, valid, *_ = frame.features
         pix = tracker.camera.denormalize(np.asarray(kp_norm))
@@ -261,13 +343,12 @@ def _overlay_frame(gray, tracker, frame, state):
         for x, y in pix[np.asarray(valid)]:
             if 0 <= x < w and 0 <= y < h:
                 cv2.circle(img, (int(x), int(y)), 1, (0, 160, 0), -1)
-        rows = tracker.last_track_kp_rows
         if state == OK and rows.size:
             for x, y in pix[rows]:
                 if 0 <= x < w and 0 <= y < h:
                     cv2.circle(img, (int(x), int(y)), 4, (0, 0, 230), 1)
     text = (
-        f"f{frame.frame_id} {state} inl={tracker.last_track_kp_rows.size} "
+        f"f{frame.frame_id} {state} inl={rows.size} "
         f"map={int(tracker.point_valid.sum())} kfs={len(tracker.keyframes)}"
     )
     cv2.putText(
@@ -320,8 +401,10 @@ def track_video_segments(
     raw_segment = 0  # includes segments later rejected (video file naming)
     consumed = 0
     exhausted = False
-    while not exhausted:
+    buf: list = []  # frames decoded/prefetched but not yet fed to a tracker
+    while not exhausted or buf:
         tracker = make_tracker()
+        chunk_size = getattr(tracker.config, "track_chunk_frames", 0)
         fed = 0
         first_ok_fid = None
         seg_writer = None
@@ -330,24 +413,12 @@ def track_video_segments(
         viz_video_path = None
         if per_segment_videos or visualize:
             import cv2  # noqa: F401 — fail early, before tracking starts
-        while True:
-            frame = next(frames, None)
-            if frame is None:
-                exhausted = True
-                break
+
+        def handle_frame(frame, state, rows):
+            nonlocal consumed, fed, first_ok_fid
+            nonlocal seg_writer, viz_writer, seg_video_path, viz_video_path
             consumed += 1
             fed += 1
-            if frame.features is not None:
-                kp_norm, desc, valid, *rest = frame.features
-                kp_level, kp_angle = rest if rest else (None, None)
-                state = tracker.process_features(
-                    kp_norm, desc, valid, frame.frame_id, frame.time_usec,
-                    kp_level=kp_level, kp_angle=kp_angle,
-                )
-            else:
-                state = tracker.process_frame(
-                    frame.gray, frame.frame_id, frame.time_usec
-                )
             if state == OK:
                 if first_ok_fid is None:
                     first_ok_fid = frame.frame_id
@@ -364,10 +435,7 @@ def track_video_segments(
                             cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
                         )
                     seg_writer.write(
-                        cv2.cvtColor(
-                            (frame.gray * 255.0).astype(np.uint8),
-                            cv2.COLOR_GRAY2BGR,
-                        )
+                        cv2.cvtColor(gray_as_u8(frame.gray), cv2.COLOR_GRAY2BGR)
                     )
             if visualize:
                 import cv2
@@ -382,8 +450,46 @@ def track_video_segments(
                         cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
                     )
                 viz_writer.write(
-                    _overlay_frame(frame.gray, tracker, frame, state)
+                    _overlay_frame(frame.gray, tracker, frame, state, rows)
                 )
+
+        state = None
+        while True:
+            while len(buf) < max(chunk_size, 1) and not exhausted:
+                nxt = next(frames, None)
+                if nxt is None:
+                    exhausted = True
+                else:
+                    buf.append(nxt)
+            if not buf:
+                break
+            if (
+                tracker.state == OK
+                and chunk_size > 0
+                and buf[0].features is not None
+            ):
+                # Steady state: one device round trip tracks a whole chunk
+                # (process_chunk stops early at keyframes/failures and the
+                # unconsumed tail stays in ``buf`` for the next call).
+                results = tracker.process_chunk(buf[:chunk_size])
+                done = buf[: len(results)]
+                del buf[: len(results)]
+                for frame, (state, rows) in zip(done, results):
+                    handle_frame(frame, state, rows)
+            else:
+                frame = buf.pop(0)
+                if frame.features is not None:
+                    kp_norm, desc, valid, *rest = frame.features
+                    kp_level, kp_angle = rest if rest else (None, None)
+                    state = tracker.process_features(
+                        kp_norm, desc, valid, frame.frame_id, frame.time_usec,
+                        kp_level=kp_level, kp_angle=kp_angle,
+                    )
+                else:
+                    state = tracker.process_frame(
+                        frame.gray, frame.frame_id, frame.time_usec
+                    )
+                handle_frame(frame, state, tracker.last_track_kp_rows)
             if state == LOST:
                 break
         tracker.finalize()  # terminal loop-closure pass (max revisit overlap)

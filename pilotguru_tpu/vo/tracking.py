@@ -46,9 +46,11 @@ from pilotguru_tpu.vo import matching
 from pilotguru_tpu.vo.ba import BAProblem, bundle_adjust
 from pilotguru_tpu.vo.features import extract_orb_features
 from pilotguru_tpu.vo.pose import (
+    compose_pose,
     matrix_to_quat,
     matrix_to_rotvec,
     optimize_pose,
+    pose_delta,
     project,
     rotvec_to_matrix,
     transform,
@@ -255,6 +257,86 @@ def fused_track_step(
         ]
     )
     return packed
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "search_radius", "refine_radius", "max_distance", "scale",
+        "level_window", "huber_delta", "inlier_threshold",
+        "min_track_inliers",
+    ),
+)
+def fused_track_chunk(
+    points,  # [B, 3] compact local-map mirror (see fused_track_step)
+    point_desc,  # [B, 256]
+    cand_mask,  # [B] bool
+    point_level,  # [B] int32
+    pose0,  # [6] last tracked pose
+    motion0,  # [6] motion-model delta (curr = motion o prev)
+    kp_norm,  # C-tuple of [K, 2] (stacked in-trace; device slices fine)
+    kp_desc,  # C-tuple of [K, 256]
+    kp_valid,  # C-tuple of [K] bool
+    kp_level,  # C-tuple of [K] int32
+    search_radius: float,
+    max_distance: int,
+    scale: float = 1.2,
+    level_window: int = 2,
+    refine_radius: float = 0.0,
+    huber_delta: float = 0.006,
+    inlier_threshold: float = 0.01,
+    min_track_inliers: int = 25,
+):
+    """C consecutive tracking attempts as ONE device program (lax.scan over
+    fused_track_step), carrying the pose + constant-velocity motion model
+    on device between frames.
+
+    This is the chunked-tracking shape the reference's per-frame
+    Tracking::Track loop (Tracking.cc:272-498) maps to on a latency-bound
+    accelerator: between keyframe decisions the map is immutable, so the
+    only sequential state is (pose, motion) — scan it on device and let the
+    host inspect the whole chunk's per-frame results from a single pull
+    (~33 ms round-trip through the remote tunnel buys C frames instead of
+    one). A frame whose inlier count falls below ``min_track_inliers``
+    freezes the carry (``failed``): later frames in the chunk would track
+    from a broken pose, so the host discards them and re-runs the event
+    frame through the full fallback path (ref-KF track / relocalization).
+
+    Returns [C, 7 + 3B]: per frame the fused_track_step packed vector
+    [pose6, num_inliers, match_idx[B], inliers[B], in_view[B]].
+    """
+    kp = jnp.stack(kp_norm)
+    kd = jnp.stack(kp_desc)
+    kv = jnp.stack(kp_valid)
+    kl = jnp.stack(kp_level)
+    dtype = jnp.asarray(pose0).dtype
+
+    def step(carry, frame):
+        pose, motion, failed = carry
+        f_kp, f_kd, f_kv, f_kl = frame
+        predicted = compose_pose(motion, pose)
+        packed = fused_track_step(
+            points, point_desc, cand_mask, point_level,
+            predicted, f_kp, f_kd, f_kv, f_kl,
+            search_radius=search_radius, max_distance=max_distance,
+            scale=scale, level_window=level_window,
+            refine_radius=refine_radius, huber_delta=huber_delta,
+            inlier_threshold=inlier_threshold,
+        )
+        new_pose = packed[:6].astype(dtype)
+        ok = (packed[6] >= min_track_inliers) & ~failed
+        new_motion = pose_delta(pose, new_pose)
+        pose = jnp.where(ok, new_pose, pose)
+        motion = jnp.where(ok, new_motion, motion)
+        return (pose, motion, failed | ~ok), packed
+
+    init = (
+        jnp.asarray(pose0, dtype),
+        jnp.asarray(motion0, dtype),
+        jnp.asarray(False),
+    )
+    _, packs = jax.lax.scan(step, init, (kp, kd, kv, kl))
+    return packs
 
 
 @partial(
@@ -543,6 +625,30 @@ class CameraModel:
         )
 
 
+@partial(jax.jit, static_argnames=("camera",))
+def normalize_keypoints_device(xy, camera: "CameraModel"):
+    """Device twin of CameraModel.normalize (pixel -> undistorted
+    normalized-plane coordinates): the batched prefetcher normalizes on
+    device so keypoint arrays never detour through the host on the chunked
+    tracking path. Same fixed-point undistortion scheme (40 rounds, the
+    cv2.undistortPoints iteration) as the host version."""
+    x = (xy[..., 0] - camera.cx) / camera.fx
+    y = (xy[..., 1] - camera.cy) / camera.fy
+    if camera.has_distortion():
+        xd, yd = x, y
+
+        def body(_, pair):
+            px, py = pair
+            r2 = px * px + py * py
+            radial = 1.0 + r2 * (camera.k1 + camera.k2 * r2)
+            dx = 2.0 * camera.p1 * px * py + camera.p2 * (r2 + 2.0 * px * px)
+            dy = camera.p1 * (r2 + 2.0 * py * py) + 2.0 * camera.p2 * px * py
+            return ((xd - dx) / radial, (yd - dy) / radial)
+
+        x, y = jax.lax.fori_loop(0, 40, body, (xd, yd))
+    return jnp.stack([x, y], axis=-1)
+
+
 @dataclass(frozen=True)
 class TrackerConfig:
     # Reference feature budget: 2000 features over 8 pyramid levels
@@ -586,6 +692,13 @@ class TrackerConfig:
     # (Tracking.cc:317-323): descriptor-only re-track against the reference
     # keyframe when motion-model tracking fails.
     track_ref_kf_fallback: bool = True
+    # Frames tracked per device call in the chunked path (process_chunk):
+    # between keyframe decisions the map is immutable, so C frames ride one
+    # host<->device round trip instead of C (decisive through a remote
+    # tunnel, still fewer dispatches locally). Matches keyframe_max_gap so
+    # the gap-triggered keyframe lands on the last chunk frame (zero
+    # rewind in steady state). 0 disables chunking.
+    track_chunk_frames: int = 8
     local_window: int = 6  # keyframes in local BA
     min_init_matches: int = 60
     min_init_inliers: int = 40
@@ -839,14 +952,15 @@ class MonocularTracker:
         kl = jnp.asarray(np.zeros(k, np.int32))
         bucket = min(1024, self.config.max_map_points)
         while True:
+            m_pts = jnp.asarray(rng.normal(size=(bucket, 3)))
+            m_desc = jnp.asarray(
+                rng.integers(0, 2, (bucket, 256)).astype(np.uint8)
+            )
+            m_cand = jnp.asarray(np.ones(bucket, bool))
+            m_level = jnp.asarray(np.zeros(bucket, np.int32))
             jax.block_until_ready(
                 fused_track_step(
-                    jnp.asarray(rng.normal(size=(bucket, 3))),
-                    jnp.asarray(
-                        rng.integers(0, 2, (bucket, 256)).astype(np.uint8)
-                    ),
-                    jnp.asarray(np.ones(bucket, bool)),
-                    jnp.asarray(np.zeros(bucket, np.int32)),
+                    m_pts, m_desc, m_cand, m_level,
                     jnp.asarray(np.zeros(6)),
                     kp, kd, kv, kl,
                     search_radius=self._search_rad,
@@ -858,12 +972,32 @@ class MonocularTracker:
                     inlier_threshold=self._inlier_thresh,
                 )
             )
+            if self.config.track_chunk_frames > 0:
+                c = self.config.track_chunk_frames
+                jax.block_until_ready(
+                    fused_track_chunk(
+                        m_pts, m_desc, m_cand, m_level,
+                        jnp.asarray(np.zeros(6)), jnp.asarray(np.zeros(6)),
+                        (kp,) * c, (kd,) * c, (kv,) * c, (kl,) * c,
+                        search_radius=self._search_rad,
+                        max_distance=matching.HAMMING_HIGH,
+                        scale=self.config.scale,
+                        level_window=self.config.level_window,
+                        refine_radius=self._refine_rad,
+                        huber_delta=self._huber,
+                        inlier_threshold=self._inlier_thresh,
+                        min_track_inliers=self.config.min_track_inliers,
+                    )
+                )
             if bucket >= self.config.max_map_points:
                 break
             bucket *= 2
 
     # ---------------------------------------------------------------- utils
     def _extract(self, gray):
+        gray = np.asarray(gray)
+        if gray.dtype == np.uint8:
+            gray = gray.astype(np.float32) / 255.0
         kps = extract_orb_features(
             jnp.asarray(gray, jnp.float32),
             num_levels=self.config.num_levels,
@@ -1272,6 +1406,101 @@ class MonocularTracker:
             return None
         return packed[:6].astype(np.float64)
 
+    def process_chunk(self, frames) -> List[tuple]:
+        """Track up to ``config.track_chunk_frames`` consecutive frames with
+        ONE blocking device round trip (fused_track_chunk).
+
+        ``frames``: objects carrying ``.features`` (kp_norm, desc, valid,
+        level, angle — host arrays, desc may be device-resident), optional
+        ``.dev_features`` (device-resident (kp_norm, desc, valid, level)
+        from the batched prefetcher — preferred, zero re-upload), and
+        ``.frame_id`` / ``.time_usec``. Only valid in the OK state.
+
+        Returns [(state, tracked_kp_rows)] for the frames actually CONSUMED;
+        the caller re-feeds the rest. The chunk stops early at a keyframe
+        insertion (the map changed, so later chunk frames must re-track
+        against it — at most chunk-1 frames of device compute are discarded,
+        zero in steady state since the gap rule fires on the last chunk
+        frame) or at a tracking failure (the event frame re-runs through the
+        full per-frame fallback path: ref-KF track, then relocalization).
+        """
+        assert self.state == OK, "process_chunk requires an initialized tracker"
+        c = min(len(frames), self.config.track_chunk_frames)
+        use = frames[:c]
+        pad = self.config.track_chunk_frames - c
+
+        def dev_inputs(f):
+            dev = getattr(f, "dev_features", None)
+            if dev is not None:
+                return dev
+            kp_norm, desc, valid, level, _ = f.features
+            return (kp_norm, desc, valid, level)
+
+        ins = [dev_inputs(f) for f in use]
+        ins += [ins[-1]] * pad  # pad by repetition; outputs ignored
+        kp_t, kd_t, kv_t, kl_t = zip(*ins)
+        points_dev, desc_dev, cand_dev, level_dev = self._device_map()
+        sel = self._dev_map_sel.copy()
+        n = self._dev_map_count
+        b = int(cand_dev.shape[0])
+        packed_dev = fused_track_chunk(
+            points_dev, desc_dev, cand_dev, level_dev,
+            jnp.asarray(self._pose), jnp.asarray(self._motion),
+            tuple(kp_t), tuple(kd_t), tuple(kv_t), tuple(kl_t),
+            search_radius=self._search_rad,
+            max_distance=matching.HAMMING_HIGH,
+            scale=self.config.scale,
+            level_window=self.config.level_window,
+            refine_radius=self._refine_rad,
+            huber_delta=self._huber,
+            inlier_threshold=self._inlier_thresh,
+            min_track_inliers=self.config.min_track_inliers,
+        )
+        # The LAST chunk frame usually becomes the next keyframe (the gap
+        # rule fires at chunk end by construction): start its descriptor
+        # host copy now so the keyframe path overlaps the pull with the
+        # chunk's own result transfer.
+        last_desc = ins[c - 1][1]
+        if hasattr(last_desc, "copy_to_host_async"):
+            last_desc.copy_to_host_async()
+        packs = np.asarray(packed_dev)
+
+        results: List[tuple] = []
+        m = self.config.max_map_points
+        rows_sel = sel[:n]
+        for i, f in enumerate(use):
+            row = packs[i]
+            num_inliers = int(row[6])
+            if num_inliers < self.config.min_track_inliers:
+                # Motion-model tracking failed on this frame: the chunk
+                # carry froze here, so re-run it through the full
+                # single-frame path (same predicted pose — the map and
+                # motion model are exactly as the chunk saw them) to get
+                # the ref-KF / relocalization fallbacks.
+                kp_norm, desc, valid, level, angle = f.features
+                state = self.process_features(
+                    kp_norm, desc, valid, f.frame_id, f.time_usec,
+                    kp_level=level, kp_angle=angle,
+                )
+                results.append((state, self.last_track_kp_rows))
+                return results
+            pose6 = row[:6].astype(np.float64)
+            match_idx = np.full(m, -1, np.int32)
+            match_idx[rows_sel] = row[7 : 7 + n].astype(np.int32)
+            inliers = np.zeros(m, bool)
+            inliers[rows_sel] = row[7 + b : 7 + b + n] > 0.5
+            in_view = np.zeros(m, bool)
+            in_view[rows_sel] = row[7 + 2 * b : 7 + 2 * b + n] > 0.5
+            next_id = self._next_kf_id
+            self._commit_tracked_frame(
+                _FrameFeatures(*f.features), f.frame_id, f.time_usec,
+                pose6, num_inliers, match_idx, inliers, in_view,
+            )
+            results.append((OK, self.last_track_kp_rows))
+            if self._next_kf_id != next_id:
+                return results  # keyframe inserted -> map changed
+        return results
+
     def _track(self, frame: _FrameFeatures, frame_id, time_usec):
         predicted = self._compose(self._motion, self._pose)
         new_pose, num_inliers, match_idx, inliers, in_front = (
@@ -1350,6 +1579,18 @@ class MonocularTracker:
                 )
                 return
 
+        self._commit_tracked_frame(
+            frame, frame_id, time_usec,
+            new_pose, num_inliers, match_idx, inliers, in_front,
+        )
+
+    def _commit_tracked_frame(
+        self, frame: _FrameFeatures, frame_id, time_usec,
+        new_pose, num_inliers, match_idx, inliers, in_front,
+    ):
+        """Accept one successfully tracked frame: per-point statistics,
+        motion-model/pose update, trajectory append, and the keyframe
+        policy + insertion (shared by the per-frame and chunked paths)."""
         # Per-point tracking statistics (MapPoint::IncreaseVisible/Found):
         # visible = the point was searched in this frame's frustum, found =
         # it survived pose optimization as an inlier.

@@ -298,3 +298,84 @@ class TestTraining:
             jax.tree_util.tree_leaves(saved["params"]),
         ):
             np.testing.assert_array_equal(a[0], b)  # a has the ensemble axis
+
+    def test_fold_lr_scales_survive_across_epochs(self, dataset, tmp_path):
+        """Round-2 HIGH regression tripwire (training.py lr_scale seeding):
+        caller-installed per-fold LR ratios (the grouped hyperparams
+        search's mechanism, cli/hyperparams_search.py) must persist across
+        the epoch-end write-back. A re-seed from ones mid-run would
+        silently equalize the folds — here net 1 carries lr_scale 0, so a
+        wipe would start training it from epoch 2 and change its params."""
+        settings = training.TrainSettings(
+            epochs=3,
+            batch_size=32,
+            learning_rate=3e-3,
+            augment=aug.AugmentSettings(target_width=72),
+        )
+        model = models.make_network(_options(net_name="toy"))
+        tx = training.make_optimizer(settings.optimizer, settings.learning_rate)
+        example = {models.FRAME_IMG: np.zeros((1, 36, 72, 3), np.float32)}
+        state = training.init_ensemble(model, example, num_nets=2, tx=tx)
+        state = state._replace(lr_scale=jnp.asarray([1.0, 0.0], jnp.float32))
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        log = training.train_models(
+            model, state, tx, dataset, dataset,
+            input_names=[models.FRAME_IMG],
+            label_name=models.STEERING,
+            weighters=[weighting.UniformWeighter() for _ in range(2)],
+            settings=settings,
+            out_dir=str(tmp_path),
+            print_log=False,
+        )
+        # Installed ratios visible (not wiped to ones) at EVERY epoch.
+        for event in log:
+            assert event.lr_scale_per_net == [1.0, 0.0]
+        saved = [
+            training.load_net(
+                data_lib.model_file_name(str(tmp_path), n, data_lib.LAST)
+            )
+            for n in (0, 1)
+        ]
+        frozen_same = moving_same = True
+        for leaf_b, leaf_0, leaf_1 in zip(
+            jax.tree_util.tree_leaves(before),
+            jax.tree_util.tree_leaves(saved[0]["params"]),
+            jax.tree_util.tree_leaves(saved[1]["params"]),
+        ):
+            moving_same &= bool(np.array_equal(leaf_b[0], leaf_0))
+            frozen_same &= bool(np.array_equal(leaf_b[1], leaf_1))
+        assert frozen_same, "lr_scale=0 net must stay at its initialization"
+        assert not moving_same, "lr_scale=1 net must actually train"
+
+    def test_plateau_decay_composes_with_fold_lr_ratios(self, dataset, tmp_path):
+        """ReduceLROnPlateau-per-net parity (training_helpers.py:130-135)
+        composed with caller-installed fold ratios: plateau halving must
+        MULTIPLY the installed scale, not replace it."""
+        settings = training.TrainSettings(
+            epochs=3,
+            batch_size=32,
+            batch_use_prob=0.0,  # fully frozen (even batch-norm stats):
+            # val loss repeats exactly, so the plateau schedule is
+            # deterministic — epoch 0 improves from inf, epochs 1-2 plateau.
+            plateau_patience_epochs=1,
+            augment=aug.AugmentSettings(target_width=72),
+        )
+        model = models.make_network(_options(net_name="toy"))
+        tx = training.make_optimizer(settings.optimizer, settings.learning_rate)
+        example = {models.FRAME_IMG: np.zeros((1, 36, 72, 3), np.float32)}
+        state = training.init_ensemble(model, example, num_nets=2, tx=tx)
+        state = state._replace(lr_scale=jnp.asarray([0.8, 0.2], jnp.float32))
+        log = training.train_models(
+            model, state, tx, dataset, dataset,
+            input_names=[models.FRAME_IMG],
+            label_name=models.STEERING,
+            weighters=[weighting.UniformWeighter() for _ in range(2)],
+            settings=settings,
+            out_dir=str(tmp_path),
+            print_log=False,
+        )
+        # Epoch 0 improves (min inf); epochs 1-2 plateau exactly (frozen
+        # nets); patience 1 -> one halving lands at epoch 2, composed onto
+        # the installed ratios.
+        assert log[0].lr_scale_per_net == pytest.approx([0.8, 0.2])
+        assert log[-1].lr_scale_per_net == pytest.approx([0.4, 0.1])

@@ -229,7 +229,11 @@ class TestPrefetchFeatures:
             np.testing.assert_allclose(pkp, kp, rtol=0, atol=1e-6)
             np.testing.assert_array_equal(pdesc, desc)
             np.testing.assert_array_equal(plevel, level)
-            np.testing.assert_allclose(pangle, angle, rtol=0, atol=1e-6)
+            # Angles ride back through the packed pull; the repacked batch
+            # program fuses arctan2 differently than the per-frame one, so
+            # allow a few f32 ulps (1e-5 rad ~ 0.0006 deg — far below any
+            # matching-bin or rotation-histogram granularity).
+            np.testing.assert_allclose(pangle, angle, rtol=0, atol=1e-5)
 
 
 class TestOpticalTrajectoriesCli:
@@ -486,3 +490,66 @@ class TestOpticalTrajectoriesCli:
         assert covered >= 0.9 * num_frames, (
             f"segments cover only {covered}/{num_frames} frames"
         )
+
+
+class TestImageListSource:
+    def test_video_frames_reads_tum_image_list(self, tmp_path):
+        """TUM-style image-list input (the reference's LoadImages,
+        src/io/image_sequence_reader.cc:19-46): three header lines, then
+        '<timestamp_sec> <relative_image_path>' rows. video_frames must
+        yield the same grayscale frames as the video path, with timestamps
+        taken from the list."""
+        import cv2
+
+        from pilotguru_tpu.vo.pipeline import video_frames
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "video.mp4")
+        render_parallax_video(video, frames=6)
+
+        list_dir = tmp_path / "tum"
+        (list_dir / "rgb").mkdir(parents=True)
+        stamps = []
+        cap = cv2.VideoCapture(video)
+        i = 0
+        decoded = []
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            ts = 100.0 + i / 30.0
+            name = f"rgb/{ts:.6f}.png"
+            cv2.imwrite(str(list_dir / name), bgr)
+            stamps.append((ts, name))
+            decoded.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY))
+            i += 1
+        cap.release()
+        with open(list_dir / "rgb.txt", "w") as f:
+            f.write("# color images\n# file: 'synthetic'\n# timestamp filename\n")
+            for ts, name in stamps:
+                f.write(f"{ts:.6f} {name}\n")
+
+        # Directory form (rgb.txt discovered) and explicit index-file form.
+        for src in (str(list_dir), str(list_dir / "rgb.txt")):
+            frames = list(video_frames(src))
+            assert len(frames) == len(stamps)
+            for j, f in enumerate(frames):
+                assert f.frame_id == j
+                assert f.time_usec == int(round(stamps[j][0] * 1e6))
+                np.testing.assert_array_equal(f.gray, decoded[j])
+
+    def test_vertical_flip(self, tmp_path):
+        import cv2
+
+        from pilotguru_tpu.vo.pipeline import video_frames
+
+        (tmp_path / "rgb").mkdir()
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[0, :, :] = 255  # bright top row
+        cv2.imwrite(str(tmp_path / "rgb" / "a.png"), img)
+        with open(tmp_path / "rgb.txt", "w") as f:
+            f.write("#\n#\n#\n1.5 rgb/a.png\n")
+        frames = list(video_frames(str(tmp_path), vertical_flip=True))
+        assert len(frames) == 1
+        assert frames[0].gray[-1].min() > 200  # bright row now at bottom
+        assert frames[0].gray[0].max() == 0

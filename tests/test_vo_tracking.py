@@ -197,3 +197,115 @@ class TestLostBehavior:
                 break
         assert "LOST" in states
         assert tracker.trajectory[-1].is_lost
+
+
+class TestChunkedTracking:
+    """process_chunk is an execution-shape change (C frames per device
+    round trip), not a semantic one: it must reproduce the per-frame path's
+    trajectory, keyframes and states on the same feature stream."""
+
+    @staticmethod
+    def _make_frames(scene, times):
+        from types import SimpleNamespace
+
+        frames = []
+        for i, t in enumerate(times):
+            kp, desc, valid = scene.frame_features(t)
+            k = kp.shape[0]
+            frames.append(
+                SimpleNamespace(
+                    features=(
+                        kp, desc, valid,
+                        np.zeros(k, np.int32), np.zeros(k, np.float32),
+                    ),
+                    dev_features=None,
+                    frame_id=i,
+                    time_usec=int(t * 1e6),
+                )
+            )
+        return frames
+
+    @staticmethod
+    def _make_tracker():
+        camera = CameraModel(fx=1.0, fy=1.0, cx=0.0, cy=0.0)
+        config = TrackerConfig(
+            total_budget=256, min_init_matches=40, min_init_inliers=30,
+            min_track_inliers=15, match_search_radius=0.1,
+        )
+        return MonocularTracker(camera, config)
+
+    def _run(self, frames, chunked):
+        tracker = self._make_tracker()
+        states = []
+        if chunked:
+            buf = list(frames)
+            while buf:
+                if tracker.state == OK:
+                    results = tracker.process_chunk(buf[:8])
+                    states.extend(s for s, _ in results)
+                    del buf[: len(results)]
+                else:
+                    f = buf.pop(0)
+                    kp, desc, valid, level, angle = f.features
+                    states.append(
+                        tracker.process_features(
+                            kp, desc, valid, f.frame_id, f.time_usec,
+                            kp_level=level, kp_angle=angle,
+                        )
+                    )
+        else:
+            for f in frames:
+                kp, desc, valid, level, angle = f.features
+                states.append(
+                    tracker.process_features(
+                        kp, desc, valid, f.frame_id, f.time_usec,
+                        kp_level=level, kp_angle=angle,
+                    )
+                )
+        return tracker, states
+
+    def test_chunked_matches_per_frame(self):
+        times = np.arange(0, 10.0, 0.25)
+        per_tracker, per_states = self._run(
+            self._make_frames(SyntheticScene(seed=11), times), chunked=False
+        )
+        chk_tracker, chk_states = self._run(
+            self._make_frames(SyntheticScene(seed=11), times), chunked=True
+        )
+        assert chk_states == per_states
+        assert len(chk_tracker.keyframes) == len(per_tracker.keyframes)
+        assert [kf.kf_id for kf in chk_tracker.keyframes] == [
+            kf.kf_id for kf in per_tracker.keyframes
+        ]
+        per_traj = per_tracker.final_trajectory()
+        chk_traj = chk_tracker.final_trajectory()
+        assert len(per_traj) == len(chk_traj)
+        for a, b in zip(per_traj, chk_traj):
+            assert a.frame_id == b.frame_id
+            # Host-composed (numpy) vs device-composed (XLA) motion
+            # predictions differ by libm ulps; everything downstream is
+            # integer matching + thresholded optimization, so poses agree
+            # to float32 packing noise.
+            np.testing.assert_allclose(a.pose6, b.pose6, atol=1e-4)
+
+    def test_chunk_stops_at_tracking_failure(self):
+        """A mid-chunk feature blackout must surface LOST through the
+        chunked path (frames after the event are NOT consumed)."""
+        scene = SyntheticScene(seed=5)
+        times = np.arange(0, 8.0, 0.25)
+        frames = self._make_frames(scene, times)
+        rng = np.random.default_rng(9)
+        for f in frames:
+            if f.time_usec > 4_000_000:  # blackout: decoy-only frames
+                kp, desc, valid, level, angle = f.features
+                valid = valid.copy()
+                valid[:] = False
+                valid[:48] = True
+                f.features = (
+                    rng.uniform(-0.8, 0.8, size=kp.shape),
+                    rng.integers(0, 2, size=desc.shape).astype(np.uint8),
+                    valid, level, angle,
+                )
+        tracker, states = self._run(frames, chunked=True)
+        assert "LOST" in states
+        assert tracker.trajectory[-1].is_lost
