@@ -154,6 +154,60 @@ def bench_fit_motion():
     return rmse_line, headline
 
 
+def bench_corpus():
+    """Corpus-scale calibration (BASELINE stretch config): N rides through
+    the bucketed fit_motion_corpus path — one compiled executable reused
+    across every ride (vs the reference's one PROCESS per ride,
+    python/preprocess_all.py:20-37)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pilotguru_tpu.calib import FitMotionConfig
+    from pilotguru_tpu.calib.corpus import RideArrays, fit_motion_corpus
+
+    dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    num_rides = 8
+    rides = []
+    total_ride_sec = 0.0
+    for seed in range(num_rides):
+        rot_t, rates, acc_t, accs, gps_t, gps_v, duration = make_ride(seed=seed)
+        rides.append(RideArrays(rot_t, rates, acc_t, accs, gps_t, gps_v))
+        total_ride_sec += duration
+    config = FitMotionConfig(optimization_iters=30, dtype=dtype)
+
+    _retry(lambda: fit_motion_corpus(rides[:1], config))  # compile warmup
+    elapsed = np.inf
+    for _ in range(2):
+        start = time.perf_counter()
+        results = fit_motion_corpus(rides, config)
+        elapsed = min(elapsed, time.perf_counter() - start)
+    assert len(results) == num_rides
+
+    # Quality gate on every ride (same analytic ground truth as the
+    # single-ride bench — make_ride varies only the noise seed).
+    for result in results:
+        t_sec = (result.velocity_times_usec - 1_000_000) * 1e-6
+        want = 9.0 + 3.0 * np.sin(2 * np.pi * t_sec / 37.0)
+        rmse = float(np.sqrt(np.mean((result.velocities_m_s - want) ** 2)))
+        if rmse > 0.5:
+            raise RuntimeError(f"corpus ride RMSE check failed: {rmse}")
+
+    value = total_ride_sec / elapsed
+    return {
+        "metric": "fit_motion_corpus_ride_seconds_per_second",
+        "value": round(value, 2),
+        "unit": (
+            f"ride_sec/sec over a {num_rides}-ride corpus (300s each, "
+            "2x200Hz IMU, 1Hz GPS; one compiled executable reused across "
+            "rides — the reference runs one process per ride)"
+        ),
+        "vs_baseline": round(value, 2),
+    }
+
+
 def bench_vo():
     """optical_trajectories on a rendered 720p ride at reference budget."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -339,26 +393,151 @@ def bench_vo():
         pose, 64,
     )
     note("fused track timing")
-    device_fps = 1000.0 / (extract_ms + track_ms)
+
+    # Keyframe-cadence device work, AMORTIZED (VERDICT r3 item 2): one
+    # jitted program per iteration runs the full per-keyframe device suite
+    # — triangulation/creation (fused_create_points), duplicate fusion over
+    # the whole arena (fused_project_match), local bundle adjustment at the
+    # tracker's window shapes, and the loop-detection vote sweep — i.e.
+    # everything LocalMapping.cc:170-206,454-525 + LoopClosing's detect run
+    # per keyframe. Steady-state cadence is one keyframe per
+    # keyframe_max_gap=8 frames (PARITY soak: 17 KFs / 150 frames).
+    from pilotguru_tpu.vo.ba import BAProblem
+    from pilotguru_tpu.vo.loopclosing import _vote_counts
+    from pilotguru_tpu.vo.tracking import (
+        _bundle_adjust,
+        fused_create_points,
+        fused_project_match,
+    )
+
+    arena = 4096
+    a_pts = jnp.asarray(rng.normal(size=(arena, 3)).astype(np.float32))
+    a_desc = jnp.asarray(
+        rng.integers(0, 2, size=(arena, 256)).astype(np.uint8)
+    )
+    a_cand = jnp.asarray(np.ones(arena, bool))
+    a_level = jnp.asarray(rng.integers(0, 8, size=arena).astype(np.int32))
+    kangle = kps.angle[0]
+    kun = kv  # "unmatched" masks — same shape, cost identical
+    delta = jnp.asarray(np.array([0, 0.01, 0, 0, 0, 0.1], np.float32))
+    # Local BA at the tracker's bucket shapes: 6-keyframe window,
+    # ~1.2k points (256-multiple bucket), 2k observations (1024-multiple).
+    num_k, num_m, num_o = 6, 1280, 2048
+    problem = BAProblem(
+        jnp.asarray(rng.normal(scale=0.01, size=(num_k, 6)).astype(np.float32)),
+        jnp.asarray(
+            (rng.normal(size=(num_m, 3)) + [0, 0, 5]).astype(np.float32)
+        ),
+        jnp.asarray(rng.integers(0, num_k, size=num_o).astype(np.int32)),
+        jnp.asarray(rng.integers(0, num_m, size=num_o).astype(np.int32)),
+        jnp.asarray(rng.normal(scale=0.2, size=(num_o, 2)).astype(np.float32)),
+        jnp.asarray(np.ones(num_o, bool)),
+        jnp.asarray(np.ones(num_m, bool)),
+        jnp.asarray(np.ones(num_o, np.float32)),
+    )
+    # Vote sweep against 24 stored keyframes (a 150-frame segment's stack).
+    kf_stack_desc = jnp.asarray(
+        rng.integers(0, 2, size=(24, 2000, 256)).astype(np.uint8)
+    )
+    kf_stack_valid = jnp.asarray(np.ones((24, 2000), bool))
+
+    def keyframe_suite(p, c):
+        # Every sub-program must depend on the chain carry ``c`` or XLA
+        # hoists it out of the timing loop.
+        d = delta + p * 0.0 + c
+        created = fused_create_points(
+            kd, kun, kp + c, klevel, kangle,
+            kd, kun, kp, klevel, kangle,
+            d, jnp.zeros(6, jnp.float32) + c,
+            min_parallax_cos=0.9999, epipolar_gate=0.003,
+        )
+        fused = fused_project_match(
+            a_pts + c, a_desc, a_cand, a_level, d,
+            kd, kp, kv, klevel,
+            search_radius=0.007, max_distance=50,
+        )
+        ba = _bundle_adjust(
+            problem._replace(poses6=problem.poses6 + c)
+        )
+        votes = _vote_counts(
+            kd, kv & (c < 1e18), kf_stack_desc, kf_stack_valid
+        )
+        return (
+            created.sum() + fused.sum() + ba.poses6.sum()
+            + votes.sum().astype(jnp.float32)
+        )
+
+    kf_ms = device_ms_per_iter(keyframe_suite, delta, 16)
+    note("keyframe-cadence suite timing")
+
+    cadence = 8.0  # frames per keyframe (keyframe_max_gap)
+    amortized_ms_720 = extract_ms + track_ms + kf_ms / cadence
+    device_fps = 1000.0 / amortized_ms_720
+
+    # 1080p (the BASELINE north star resolution): extraction is the
+    # resolution-bound stage; track/keyframe work depends on feature and
+    # map budgets only.
+    video1080 = os.path.join(tmp, "ride1080p.mp4")
+    render_parallax_video(
+        video1080, width=1920, height=1080, frames=8, num_points=2400,
+        fx=1050.0, period_frames=60.0,
+    )
+    cap = cv2.VideoCapture(video1080)
+    grays1080 = []
+    for _ in range(8):
+        ok, frame = cap.read()
+        grays1080.append(
+            cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+        )
+    cap.release()
+    batch1080 = jnp.asarray(np.stack(grays1080))
+    _retry(
+        lambda: extract_orb_features_batch(
+            batch1080, num_levels=8, total_budget=2000
+        )
+    )
+    extract1080_ms = device_ms_per_iter(
+        lambda x, c: extract_orb_features_batch(
+            x + c, num_levels=8, total_budget=2000
+        ).xy.sum(),
+        batch1080, 8,
+    ) / batch1080.shape[0]
+    note("1080p extract timing")
+    amortized_ms_1080 = extract1080_ms + track_ms + kf_ms / cadence
+    device_fps_1080 = 1000.0 / amortized_ms_1080
 
     return (
         {
             "metric": "vo_device_frames_per_sec_720p",
             "value": round(device_fps, 1),
             "unit": (
-                f"frames/sec device-limited (extract {extract_ms:.1f} ms + "
-                f"track {track_ms:.1f} ms per 720p frame, 2000 feat / 8 "
-                f"levels, 4096-point map; {fast_note})"
+                "frames/sec device-limited, amortized INCLUDING "
+                f"keyframe-cadence work (extract {extract_ms:.1f} ms + "
+                f"track {track_ms:.1f} ms per frame + keyframe suite "
+                f"{kf_ms:.1f} ms [create+fuse+localBA+loop votes] per "
+                f"{cadence:.0f} frames; 2000 feat / 8 levels, 2048-point "
+                f"local-map bucket of a 4096 arena; {fast_note})"
             ),
             "vs_baseline": round(device_fps / 30.0, 2),
+        },
+        {
+            "metric": "vo_device_frames_per_sec_1080p",
+            "value": round(device_fps_1080, 1),
+            "unit": (
+                "frames/sec device-limited at 1920x1080 (north-star "
+                f"resolution), amortized (extract {extract1080_ms:.1f} ms "
+                f"+ track {track_ms:.1f} ms + keyframe suite "
+                f"{kf_ms:.1f} ms / {cadence:.0f} frames)"
+            ),
+            "vs_baseline": round(device_fps_1080 / 30.0, 2),
         },
         {
             "metric": "vo_optical_trajectories_fps_720p",
             "value": round(fps, 2),
             "unit": (
                 "frames/sec end-to-end (1280x720, 2000 feat / 8 levels, "
-                "decode+track+BA+loop; wall clock through a ~30 ms RTT "
-                "remote-chip tunnel — latency-bound, see device metric)"
+                "decode+track+BA+loop, chunked device tracking; wall clock "
+                "through a ~30 ms RTT remote-chip tunnel)"
             ),
             "vs_baseline": round(fps / 30.0, 2),
         },
@@ -471,6 +650,9 @@ def bench_training():
         scaled = flops_per_step * (batch / batches[-1])
         tflops = scaled * steps_per_sec / 1e12
         flops_note = f", ~{tflops:.2f} TFLOP/s achieved (XLA cost model)"
+        if jax.default_backend() == "tpu":
+            # TPU v5e peak: 197 bf16 TFLOP/s per chip.
+            flops_note += f" = {100.0 * tflops / 197.0:.1f}% MFU of 197 peak"
     else:
         flops_note = ""
     return {
@@ -488,7 +670,11 @@ def bench_training():
 def main():
     lines = []
     failures = []
-    for name, fn in [("vo", bench_vo), ("training", bench_training)]:
+    for name, fn in [
+        ("vo", bench_vo),
+        ("training", bench_training),
+        ("corpus", bench_corpus),
+    ]:
         stage_start = time.perf_counter()
         try:
             result = fn()

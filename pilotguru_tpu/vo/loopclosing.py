@@ -53,13 +53,14 @@ def _bucket(n: int, step: int = 8) -> int:
     return max(-(-n // step) * step, step)
 
 
-def detect_candidate(tracker, kf: Keyframe):
-    """Best loop candidate index (into tracker.keyframes) or None.
-
-    Old keyframes = everything except the trailing ``loop_exclude_recent``
-    window (those share covisibility with the current keyframe — matching
-    them is just tracking, not a loop).
-    """
+def start_vote_sweep(tracker, kf: Keyframe):
+    """Dispatch the candidate vote sweep WITHOUT blocking and start its
+    host copy. Returns (votes_dev, old_kf_ids) for detect_candidate, or
+    None when there are no old keyframes. The tracker calls this before
+    local BA so the sweep's compute + transfer hide behind the BA round
+    trip; keyframes culled in between are dropped by kf_id when the result
+    is consumed (votes depend only on descriptors, so the deferred read is
+    semantically identical)."""
     config = tracker.config
     # [:-k] with k == 0 would slice to nothing; spell the bound explicitly so
     # loop_exclude_recent == 0 means "consider every non-current keyframe".
@@ -77,12 +78,41 @@ def detect_candidate(tracker, kf: Keyframe):
     valid = jnp.stack(
         list(valids) + [jnp.zeros_like(valids[0])] * pad
     )
-    votes = np.asarray(
-        _vote_counts(
-            jnp.asarray(kf.descriptors), jnp.asarray(kf.kp_valid),
-            desc, valid,
-        )
-    )[: len(old)].copy()  # device arrays are read-only views
+    votes_dev = _vote_counts(
+        jnp.asarray(kf.descriptors), jnp.asarray(kf.kp_valid), desc, valid
+    )
+    if hasattr(votes_dev, "copy_to_host_async"):
+        votes_dev.copy_to_host_async()
+    return votes_dev, [okf.kf_id for okf in old]
+
+
+def detect_candidate(tracker, kf: Keyframe, vote_handle=None):
+    """Best loop candidate index (into tracker.keyframes) or None.
+
+    Old keyframes = everything except the trailing ``loop_exclude_recent``
+    window (those share covisibility with the current keyframe — matching
+    them is just tracking, not a loop). ``vote_handle``: a pre-dispatched
+    start_vote_sweep result to consume instead of sweeping now.
+    """
+    config = tracker.config
+    if vote_handle is None:
+        vote_handle = start_vote_sweep(tracker, kf)
+    if vote_handle is None:
+        return None
+    votes_dev, old_kf_ids = vote_handle
+    by_id = {okf.kf_id: okf for okf in tracker.keyframes}
+    votes_all = np.asarray(votes_dev)[: len(old_kf_ids)]
+    # Keyframes culled since the sweep was dispatched drop out by kf_id.
+    old = []
+    votes = []
+    for vote, kf_id in zip(votes_all, old_kf_ids):
+        okf = by_id.get(kf_id)
+        if okf is not None:
+            old.append(okf)
+            votes.append(vote)
+    if not old:
+        return None
+    votes = np.asarray(votes)
 
     # Covisibility exclusion (LoopClosing::DetectLoop skips keyframes
     # connected to the current one): a keyframe that shares map points with
@@ -99,7 +129,8 @@ def detect_candidate(tracker, kf: Keyframe):
     best = int(np.argmax(votes))
     if votes[best] < config.loop_min_match_count:
         return None
-    return best
+    # Index into the CURRENT keyframe list.
+    return tracker.keyframes.index(old[best])
 
 
 @partial(jax.jit, static_argnames=("lm_iters",))
@@ -302,11 +333,12 @@ def close_loop(tracker, cur_idx: int, cand_idx: int, loop_meas7: np.ndarray):
     tracker._pose = kfs[-1].pose6.copy()
 
 
-def detect_and_close(tracker, kf: Keyframe):
+def detect_and_close(tracker, kf: Keyframe, vote_handle=None):
     """Full LoopClosing::Run equivalent for one new keyframe. Returns the
     candidate keyframe index when a loop was accepted and the map was
-    corrected, else None."""
-    cand_idx = detect_candidate(tracker, kf)
+    corrected, else None. ``vote_handle``: optional pre-dispatched
+    start_vote_sweep result (overlaps the sweep with local BA)."""
+    cand_idx = detect_candidate(tracker, kf, vote_handle)
     if cand_idx is None:
         return None
     cand = tracker.keyframes[cand_idx]

@@ -267,6 +267,36 @@ def video_frames(
     cap.release()
 
 
+def background_frames(frames: Iterator[VideoFrame], maxsize: int = 16):
+    """Run a frame iterator in a daemon thread so video decode overlaps
+    device work (the reference decodes inline on the tracking thread,
+    image_sequence_reader.cc; here decode is pure host work that would
+    otherwise serialize with every device round trip). Exceptions re-raise
+    in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+    done = object()
+
+    def run():
+        try:
+            for item in frames:
+                q.put(item)
+            q.put(done)
+        except BaseException as exc:  # propagate into the consumer
+            q.put(exc)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def tracker_from_settings(
     settings: CameraSettings, image_scale: float = 1.0
 ) -> MonocularTracker:
@@ -395,7 +425,8 @@ def track_video_segments(
         if feature_batch_size > 0:
             probe = make_tracker()
             frames = prefetch_features(
-                frames, probe.camera, probe.config, feature_batch_size
+                background_frames(frames), probe.camera, probe.config,
+                feature_batch_size,
             )
     segment = 0
     raw_segment = 0  # includes segments later rejected (video file naming)

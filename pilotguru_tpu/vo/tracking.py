@@ -1635,11 +1635,22 @@ class MonocularTracker:
             # redundant keyframes (LocalMapping::Run).
             self._map_point_culling(kf)
             self._fuse_duplicates(kf)
+            # Dispatch the loop-detection vote sweep BEFORE local BA: the
+            # sweep depends only on descriptors, so its compute + host
+            # transfer hide entirely behind the BA round trip (the
+            # reference runs LoopClosing in its own thread for the same
+            # overlap; detect_candidate drops keyframes culled in between
+            # by kf_id).
+            vote_handle = None
+            if self.config.enable_loop_closing and self._loop_preconditions(kf):
+                from pilotguru_tpu.vo import loopclosing
+
+                vote_handle = loopclosing.start_vote_sweep(self, kf)
             if self.config.ba_every_keyframe and len(self.keyframes) >= 3:
                 self._local_bundle_adjust()
             self._keyframe_culling()
             if self.config.enable_loop_closing:
-                self._try_close_loop(kf)
+                self._try_close_loop(kf, vote_handle)
             self._refresh_local_points()
             self._frames_since_keyframe = 0
 
@@ -1923,6 +1934,11 @@ class MonocularTracker:
             huber_delta=self._huber,
             inlier_threshold=self._inlier_thresh,
         )
+        # Start both host copies before blocking on either: the transfers
+        # overlap, so the two result pulls cost one round trip, not two.
+        for out in (result.poses6, result.points):
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
         new_poses = np.asarray(result.poses6)
         for ki, kf in enumerate(window):
             kf.pose6 = new_poses[ki]
@@ -1936,26 +1952,31 @@ class MonocularTracker:
                 break
 
     # ---------------------------------------------------------- loop closing
-    def _try_close_loop(self, kf: Keyframe):
-        """Detect + close loops (LoopClosing.cc semantics, TPU shapes):
-        exhaustive MXU descriptor voting against all old keyframes replaces
-        the DBoW2 index, RANSAC-Umeyama on matched 3D-3D map points replaces
-        Sim3Solver, and a dense Sim(3) pose graph replaces
-        OptimizeEssentialGraph. See vo/loopclosing.py."""
-        from pilotguru_tpu.vo import loopclosing
-
+    def _loop_preconditions(self, kf: Keyframe) -> bool:
+        """Cheap host-side gates before any loop-closing device work."""
         if (
             len(self.keyframes)
             < self.config.loop_exclude_recent + self.config.loop_cooldown_keyframes
         ):
-            return
+            return False
         # Cooldown in monotone kf ids (list length shrinks under culling).
-        if (
+        return (
             kf.kf_id - self._last_loop_kf_id
-            < self.config.loop_cooldown_keyframes
-        ):
+            >= self.config.loop_cooldown_keyframes
+        )
+
+    def _try_close_loop(self, kf: Keyframe, vote_handle=None):
+        """Detect + close loops (LoopClosing.cc semantics, TPU shapes):
+        exhaustive MXU descriptor voting against all old keyframes replaces
+        the DBoW2 index, RANSAC-Umeyama on matched 3D-3D map points replaces
+        Sim3Solver, and a dense Sim(3) pose graph replaces
+        OptimizeEssentialGraph. See vo/loopclosing.py. ``vote_handle``: a
+        pre-dispatched start_vote_sweep result (overlapped with local BA)."""
+        from pilotguru_tpu.vo import loopclosing
+
+        if not self._loop_preconditions(kf):
             return
-        cand_idx = loopclosing.detect_and_close(self, kf)
+        cand_idx = loopclosing.detect_and_close(self, kf, vote_handle)
         if cand_idx is not None:
             self._last_loop_kf_id = kf.kf_id
             self._last_loop_cand_kf_id = self.keyframes[cand_idx].kf_id
