@@ -323,33 +323,39 @@ def bench_vo():
         half = max(iters // 2, 1)
         return max(chain(2 * half) - chain(half), 1e-6) / half * 1e3
 
-    # Pallas FAST parity on the REAL chip (the unit test only runs
-    # interpret mode on CPU): assert the production kernel matches the jnp
-    # reference once, then time both so the choice of shipped path
-    # (features._fast_impl) stays justified by numbers.
-    from pilotguru_tpu.vo.features import _fast_impl, fast_scores
-    from pilotguru_tpu.vo.fast_pallas import fast_scores_pallas
+    # Pallas FAST+NMS parity on the REAL chip (the unit test only runs
+    # interpret mode on CPU): assert the production fused kernel matches
+    # the jnp reference once, then race both pairs so the shipped default
+    # (features._fast_impl: pallas on TPU) stays justified by numbers.
+    from pilotguru_tpu.vo.features import _fast_impl, fast_scores, nms3x3
+    from pilotguru_tpu.vo.fast_pallas import fast_nms_pallas
 
     fast_note = f"fast_impl={_fast_impl()}"
     if jax.default_backend() == "tpu":
-        ref_scores = np.asarray(fast_scores(batch[0], 20.0 / 255.0))
-        pal_scores = np.asarray(fast_scores_pallas(batch[0], 20.0 / 255.0))
-        np.testing.assert_allclose(pal_scores, ref_scores, atol=1e-5)
+        ref_raw = np.asarray(fast_scores(batch[0], 20.0 / 255.0))
+        ref_nms = np.asarray(nms3x3(jnp.asarray(ref_raw)))
+        pal_raw, pal_nms = fast_nms_pallas(batch[0], 20.0 / 255.0)
+        np.testing.assert_allclose(np.asarray(pal_raw), ref_raw, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pal_nms), ref_nms, atol=1e-5)
+        assert ((np.asarray(pal_nms) > 0) == (ref_nms > 0)).all()
+
         # Sub-millisecond stages need long chains: the two-chain difference
         # must clear the tunnel's run-to-run noise (a few ms), so 128 iters
         # puts the half-chain delta at ~25x the stage cost.
-        jnp_ms = device_ms_per_iter(
-            lambda x, c: fast_scores(x + c, 20.0 / 255.0).sum(),
-            batch[0], 128,
-        )
-        pal_ms = device_ms_per_iter(
-            lambda x, c: fast_scores_pallas(x + c, 20.0 / 255.0).sum(),
-            batch[0], 128,
-        )
+        def jnp_pair(x, c):
+            raw = fast_scores(x + c, 20.0 / 255.0)
+            return raw.sum() + nms3x3(raw).sum()
+
+        def pal_pair(x, c):
+            raw, nms = fast_nms_pallas(x + c, 20.0 / 255.0)
+            return raw.sum() + nms.sum()
+
+        jnp_ms = device_ms_per_iter(jnp_pair, batch[0], 128)
+        pal_ms = device_ms_per_iter(pal_pair, batch[0], 128)
         fast_note += (
-            f", fast720p jnp {jnp_ms:.2f} ms vs pallas {pal_ms:.2f} ms"
+            f", fast+nms 720p jnp {jnp_ms:.2f} ms vs pallas {pal_ms:.2f} ms"
         )
-        note("pallas parity + FAST timing")
+        note("pallas parity + FAST+NMS race")
 
     kps = _retry(
         lambda: extract_orb_features_batch(

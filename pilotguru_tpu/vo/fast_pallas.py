@@ -1,15 +1,33 @@
-"""Pallas TPU kernel for the FAST-9/16 corner response.
+"""Pallas TPU kernel: fused FAST-9/16 response + 3x3 non-max suppression.
 
-The jnp implementation (vo.features.fast_scores) materializes 16 rolled
-copies of the full image, paying ~16x the image's HBM traffic per frame.
-This kernel streams row blocks (with a 3-row halo) through VMEM once and
-computes all 16 circle taps as in-block static slices, so each input pixel
-crosses HBM once (plus the small halo duplication between row blocks).
+Replaces the two separate XLA passes of the extractor front-end
+(vo.features.fast_scores + vo.features.nms3x3) with ONE trip of the image
+through VMEM:
 
-Semantics are identical to fast_scores: FAST-9/16 contiguity on the
-16-point Bresenham circle, SAD-over-threshold response, zeroed 3-pixel
-border. Parity is asserted in tests (interpret mode on CPU, compiled on
-TPU).
+- The input image stays in HBM (``memory_space=ANY``); each grid step DMAs
+  its own overlapping row-block halo window into a VMEM scratch buffer, so
+  no pre-gathered halo copy is ever materialized in HBM (the v1 kernel's
+  mistake: it stacked ``dynamic_slice`` windows host-side, paying the very
+  extra image copy the kernel existed to avoid).
+- The 16 brighter/darker circle masks are packed into one int32 bitword
+  per pixel; the >=9-contiguous-bits arc test becomes 16-bit circular
+  rotates on the packed word (binary-doubling run detection, 4 rotate+AND
+  rounds). Two int32 arrays stay live instead of 32 boolean maps, which is
+  what lets a 128-row block (vs v1's 16) fit in VMEM.
+- The 3x3 NMS is computed in the same pass from one extra halo row of
+  scores, so the raw-score map never makes an HBM round trip between
+  response and suppression.
+
+Semantics are identical to ``nms3x3(fast_scores(img, thr))`` +
+``fast_scores(img, thr)``: FAST-9/16 contiguity on the 16-point Bresenham
+circle, SAD-over-threshold response, zeroed 3-pixel border, strict local
+maxima (ties keep the pixel, like ``scores >= reduce_window_max``).
+Parity is asserted in tests (interpret mode on CPU) and re-asserted
+compiled on the real chip by bench.py before timing.
+
+Reference workload being accelerated: the pyramid FAST of ORBextractor.cc
+(/root/reference/thirdparty/orb-slam2/src/ORBextractor.cc, 2000 features /
+8 levels per calibrate.cc:518-531) — redesigned, not ported.
 """
 
 from __future__ import annotations
@@ -23,107 +41,164 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pilotguru_tpu.vo.features import FAST_CIRCLE
 
-_HALO = 3
+_HALO = 3  # FAST circle radius
 _LANES = 128
 
 
-def _fast_kernel(img_ref, out_ref, *, threshold: float, block_rows: int):
-    """img_ref: [1, block_rows + 6, Wp] halo window; out_ref: [block_rows, Wp]."""
-    w = out_ref.shape[1] - 2 * _HALO
-    blk = img_ref[0]
-    center = blk[_HALO : _HALO + block_rows, _HALO : _HALO + w]
+def _rot16(x, k: int):
+    """Circular right-rotate of the low 16 bits (bit t <- bit (t+k) mod 16),
+    matching ``jnp.roll(bits, -k, axis=0)`` on the unpacked [16, ...] stack."""
+    return ((x >> k) | (x << (16 - k))) & 0xFFFF
 
-    # Stream the 16 taps: accumulate the SAD response immediately so only
-    # the boolean masks stay live for the contiguity test (keeps the kernel
-    # inside scoped VMEM).
-    brighter = []
-    darker = []
-    bright_sum = jnp.zeros_like(center)
-    dark_sum = jnp.zeros_like(center)
-    for dy, dx in FAST_CIRCLE:
-        tap = blk[
-            _HALO + dy : _HALO + dy + block_rows,
-            _HALO + dx : _HALO + dx + w,
-        ]
+
+def _fast_nms_kernel(
+    hbm_ref, raw_ref, nms_ref, scr, sem,
+    *, threshold: float, block_rows: int, h: int, w: int, ws: int,
+):
+    """One row block: DMA halo window, FAST response, border zero, 3x3 NMS.
+
+    hbm_ref: [Hp + 8, Wimg] padded image in HBM (row p <-> global row p-4,
+    col q <-> global col q-3). scr: [block_rows + 8, Wimg] VMEM scratch.
+    raw_ref / nms_ref: [block_rows, ws] output blocks.
+    """
+    i = pl.program_id(0)
+    r = block_rows
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(i * r, r + 8)], scr, sem
+    )
+    dma.start()
+    dma.wait()
+    blk = scr[:]
+
+    # Scores for rows rr in [0, r+2) <-> global rows i*r + rr - 1 (one halo
+    # row above and below for the NMS window), full lane-aligned width ws
+    # (col cc <-> global col cc; center at padded col cc+3).
+    center = blk[3 : r + 5, 3 : ws + 3]
+    bright_pack = jnp.zeros(center.shape, jnp.int32)
+    dark_pack = jnp.zeros(center.shape, jnp.int32)
+    bright_sum = jnp.zeros(center.shape, jnp.float32)
+    dark_sum = jnp.zeros(center.shape, jnp.float32)
+    for t, (dy, dx) in enumerate(FAST_CIRCLE):
+        tap = blk[3 + dy : 3 + dy + r + 2, 3 + dx : 3 + dx + ws]
         d = tap - center
         b = d > threshold
         k = d < -threshold
+        bit = jnp.int32(1 << t)
+        bright_pack = bright_pack | jnp.where(b, bit, 0)
+        dark_pack = dark_pack | jnp.where(k, bit, 0)
         bright_sum = bright_sum + jnp.where(b, d - threshold, 0.0)
         dark_sum = dark_sum + jnp.where(k, -d - threshold, 0.0)
-        brighter.append(b)
-        darker.append(k)
 
-    def has_arc(bits):
-        # >= 9 contiguous set bits on the 16-cycle via binary-doubling run
-        # detection (R_2k(i) = R_k(i) & R_k(i+k)): 64 ANDs instead of the
-        # naive 16x8 chain (static unroll, pure VPU work).
-        r2 = [bits[i] & bits[(i + 1) % 16] for i in range(16)]
-        r4 = [r2[i] & r2[(i + 2) % 16] for i in range(16)]
-        r8 = [r4[i] & r4[(i + 4) % 16] for i in range(16)]
-        any_arc = None
-        for i in range(16):
-            run = r8[i] & bits[(i + 8) % 16]
-            any_arc = run if any_arc is None else jnp.logical_or(any_arc, run)
-        return any_arc
+    def has_arc(p):
+        # >= 9 contiguous set bits on the 16-cycle: R_2k = R_k & rot(R_k, k).
+        r2 = p & _rot16(p, 1)
+        r4 = r2 & _rot16(r2, 2)
+        r8 = r4 & _rot16(r4, 4)
+        return (r8 & _rot16(p, 8)) != 0
 
-    corner = jnp.logical_or(has_arc(brighter), has_arc(darker))
-    response = jnp.maximum(bright_sum, dark_sum)
-    result = jnp.where(corner, response, 0.0)
-    out_ref[:] = jnp.pad(result, ((0, 0), (_HALO, _HALO)))
+    corner = has_arc(bright_pack) | has_arc(dark_pack)
+    score = jnp.where(
+        corner, jnp.maximum(bright_sum, dark_sum), 0.0
+    ).astype(raw_ref.dtype)
+
+    # Zero the 3-pixel image border BEFORE the NMS max, exactly like the
+    # jnp path (fast_scores zeroes, then nms3x3 compares).
+    grow = (
+        jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + i * r - 1
+    )
+    gcol = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    interior = (
+        (grow >= _HALO) & (grow < h - _HALO)
+        & (gcol >= _HALO) & (gcol < w - _HALO)
+    )
+    z = jnp.where(interior, score, 0.0)
+
+    raw_ref[:] = z[1 : r + 1, :]
+
+    # 3x3 max: vertical triple-max on the r output rows, then horizontal
+    # with zero shifted in at the lane edges (true neighbors there are
+    # border-zeroed, and scores are >= 0, so 0-padding == -inf-padding).
+    vert = jnp.maximum(jnp.maximum(z[0:r, :], z[1 : r + 1, :]), z[2 : r + 2, :])
+    hpad = jnp.pad(vert, ((0, 0), (1, 1)))
+    nbr = jnp.maximum(
+        jnp.maximum(hpad[:, 0:ws], hpad[:, 1 : ws + 1]), hpad[:, 2 : ws + 2]
+    )
+    mid = z[1 : r + 1, :]
+    nms_ref[:] = jnp.where(mid >= nbr, mid, 0.0)
 
 
-@partial(jax.jit, static_argnames=("threshold", "block_rows", "interpret"))
+def _pick_block_rows(h: int) -> int:
+    """Largest-utilization row block <= 128, sublane-aligned (multiple of
+    8): the fewest grid steps whose blocks still fit VMEM comfortably."""
+    blocks = -(-h // 128)
+    return -(-(-(-h // blocks)) // 8) * 8
+
+
+@partial(
+    jax.jit, static_argnames=("threshold", "block_rows", "interpret")
+)
+def fast_nms_pallas(
+    image,
+    threshold: float = 20.0 / 255.0,
+    block_rows: int = 0,
+    interpret: bool = False,
+):
+    """Fused FAST response + 3x3 NMS. image: [H, W] f32 in [0, 1].
+
+    Returns (raw, nms), both [H, W]: raw == features.fast_scores(image,
+    threshold), nms == features.nms3x3(raw).
+    """
+    h, w = image.shape
+    r = block_rows or _pick_block_rows(h)
+    h_blocks = -(-h // r)
+    hp = h_blocks * r
+    ws = -(-w // _LANES) * _LANES  # lane-aligned output/score width
+    wimg = ws + _LANES  # taps reach ws + 5; one extra lane tile
+    padded = jnp.pad(
+        image,
+        ((4, hp - h + 4), (_HALO, wimg - w - _HALO)),
+        mode="edge",
+    )  # [hp + 8, wimg]; row p <-> global p-4, col q <-> global q-3
+
+    raw, nms = pl.pallas_call(
+        partial(
+            _fast_nms_kernel,
+            threshold=threshold, block_rows=r, h=h, w=w, ws=ws,
+        ),
+        grid=(h_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((r, ws), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, ws), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, ws), image.dtype),
+            jax.ShapeDtypeStruct((hp, ws), image.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r + 8, wimg), image.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # Mosaic's conservative liveness over the unrolled 16-tap loop
+        # wants ~35 MB of scoped VMEM at r=120; the default scoped limit
+        # is 16 MB but v5e VMEM is 128 MB physical — raise the cap instead
+        # of shrinking blocks (fewer grid steps wins, measured
+        # tools/bench_fast_pallas.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(padded)
+    return raw[:h, :w], nms[:h, :w]
+
+
 def fast_scores_pallas(
     image,
     threshold: float = 20.0 / 255.0,
-    block_rows: int = 16,
+    block_rows: int = 0,
     interpret: bool = False,
 ):
-    """Drop-in replacement for vo.features.fast_scores. image: [H, W] f32."""
-    h, w = image.shape
-    h_blocks = -(-h // block_rows)
-    h_pad = h_blocks * block_rows
-    # Lane-align the padded width (halo + out-width + alignment slack).
-    wp = -(-(w + 2 * _HALO) // _LANES) * _LANES
-    padded = jnp.pad(
-        image,
-        ((_HALO, h_pad - h + _HALO), (_HALO, wp - w - _HALO)),
-        mode="edge",
-    )  # [h_pad + 6, wp]
-
-    # BlockSpec offsets are block-shape multiples, so overlapping halo reads
-    # are expressed by pre-gathering each block's (rows + 6)-row window.
-    windows = jnp.stack(
-        [
-            jax.lax.dynamic_slice_in_dim(
-                padded, i * block_rows, block_rows + 2 * _HALO, axis=0
-            )
-            for i in range(h_blocks)
-        ]
-    )  # [blocks, rows + 6, wp]
-
-    out = pl.pallas_call(
-        partial(_fast_kernel, threshold=threshold, block_rows=block_rows),
-        grid=(h_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_rows + 2 * _HALO, wp),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (block_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((h_pad, wp), image.dtype),
-        interpret=interpret,
-    )(windows)
-
-    scores = out[:h, _HALO : _HALO + w]
-    # Zero the 3-pixel border like the reference implementation.
-    mask = (
-        jnp.zeros((h, w), bool)
-        .at[_HALO : h - _HALO, _HALO : w - _HALO]
-        .set(True)
-    )
-    return jnp.where(mask, scores, 0.0)
+    """Raw FAST response only (drop-in for features.fast_scores)."""
+    return fast_nms_pallas(
+        image, threshold, block_rows=block_rows, interpret=interpret
+    )[0]

@@ -115,23 +115,23 @@ def fast_scores(image, threshold: float):
 
 def _fast_impl() -> str:
     """FAST response implementation choice, ``PGTPU_FAST_IMPL`` = 'pallas'
-    | 'jnp' ('auto' = jnp).
+    | 'jnp' ('auto' = pallas on TPU, jnp elsewhere).
 
-    Measured on the real chip (chained-execution device timing, 720p):
-    the XLA path runs 1.48 ms vs the Pallas kernel's 2.05 ms standalone,
-    and 6.1 vs 41 ms/frame for the full 8-level extract — XLA fuses the 16
-    rolled circle taps into a single elementwise loop over the image, so
-    the hand kernel's one-HBM-pass advantage never materializes, while
-    pallas_call boundaries block fusion with the surrounding pyramid ops.
-    'auto' therefore selects the jnp path on every backend; the kernel
-    stays available (and parity-tested, compiled on TPU by the bench) as
-    the scaffold for future fused-extract work. A bf16 compute path was
-    also raced (tools/bench_fast_dtype.py): 1.15 vs 1.14 ms at 720p — the
-    stage is bandwidth-bound, not VPU-bound, so lower precision buys
-    nothing and fp32 stays."""
+    The round-3 kernel lost to XLA (0.60 vs 0.35 ms at 720p) because it
+    pre-gathered every block's halo window host-side — materializing an
+    extra image copy in HBM — and kept 32 boolean circle masks live, which
+    capped blocks at 16 rows. The round-4 fused kernel (vo/fast_pallas.py)
+    DMAs overlapping halo windows from HBM inside the kernel, packs the
+    16 masks into one int32 bitword per pixel, and computes the 3x3 NMS in
+    the same VMEM pass. Measured on the real chip (chained-execution
+    device timing, FAST+NMS pair): 0.21 ms vs XLA's 0.37 ms at 720p
+    (1.8x) and 0.42 vs 1.64 ms at 1080p (3.9x) — tools/bench_fast_pallas.py;
+    bench.py re-asserts compiled parity + the race every run. 'auto'
+    therefore selects pallas on TPU; elsewhere the kernel would run in
+    interpret mode, so jnp stays the default off-chip."""
     choice = os.environ.get("PGTPU_FAST_IMPL", "auto")
     if choice == "auto":
-        return "jnp"
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
     return choice
 
 
@@ -145,6 +145,22 @@ def fast_response(image, threshold: float):
         interpret = jax.default_backend() != "tpu"
         return fast_scores_pallas(image, threshold, interpret=interpret)
     return fast_scores(image, threshold)
+
+
+def fast_and_nms(image, threshold: float):
+    """Backend-dispatched (raw FAST response, 3x3-NMS'd response) pair.
+
+    The extractor needs both maps (raw feeds subpixel refinement, NMS'd
+    feeds grid selection); the Pallas path computes them in one fused VMEM
+    pass (vo/fast_pallas.py), the XLA path as two fused-by-XLA programs.
+    """
+    if _fast_impl() == "pallas":
+        from pilotguru_tpu.vo.fast_pallas import fast_nms_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return fast_nms_pallas(image, threshold, interpret=interpret)
+    raw = fast_scores(image, threshold)
+    return raw, nms3x3(raw)
 
 
 def nms3x3(scores):
@@ -417,8 +433,7 @@ def extract_orb_features(
         lw = max(int(round(w / scale**level)), 32)
         if level > 0:
             level_img = jax.image.resize(image, (lh, lw), method="linear")
-        raw = fast_response(level_img, threshold)
-        scores = nms3x3(raw)
+        raw, scores = fast_and_nms(level_img, threshold)
         yx, resp, valid = select_grid_topk(scores, budgets[level], cell)
         offsets = subpixel_offsets(raw, yx)
         # One patch gather per keypoint feeds both orientation moments and
