@@ -313,6 +313,40 @@ def extract_patches(image, yx, radius: int = PATCH_GATHER_RADIUS):
     return jax.vmap(one)(yx)
 
 
+def _patch_impl() -> str:
+    """Patch-gather implementation choice, ``PGTPU_PATCH_IMPL`` = 'pallas'
+    | 'jnp' ('auto' = jnp).
+
+    Measured on v5e: STANDALONE the DMA-pipelined kernel
+    (vo/patch_pallas.py) crushes the XLA vmapped-dynamic_slice gather at
+    every pyramid level (L0 720p K=434: 0.04 vs 0.70 ms; L7: 0.02 vs
+    0.17 — tools/profile_extract.py harness), but END-TO-END the full
+    extractor is unchanged within noise (in-process A/B, 2 rounds:
+    pal/pal 1.51 ms vs pal/jnp 1.44 ms at 720p; 3.61 vs 3.38 at 1080p) —
+    XLA fuses the gather into its consumers (quantize + moment/BRIEF
+    contractions), so the isolated gather cost never appears on the
+    critical path, while the pallas_call boundary forces a [K, S, S]
+    materialization. 'auto' therefore stays jnp; the kernel remains the
+    scaffold for a fused gather+blur+descriptor kernel (which removes the
+    full-image blur stage entirely)."""
+    choice = os.environ.get("PGTPU_PATCH_IMPL", "auto")
+    if choice == "auto":
+        return "jnp"
+    return choice
+
+
+def gather_patches(image, yx, radius: int = PATCH_GATHER_RADIUS):
+    """Backend-dispatched extract_patches (see _patch_impl)."""
+    if _patch_impl() == "pallas":
+        from pilotguru_tpu.vo.patch_pallas import gather_patches_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return gather_patches_pallas(
+            image, yx, 2 * radius + 1, interpret=interpret
+        )
+    return extract_patches(image, yx, radius)
+
+
 def _orientation_moment_weights():
     offs = np.arange(_PATCH_SIZE, dtype=np.float32) - PATCH_GATHER_RADIUS
     dy = offs[:, None]
@@ -443,7 +477,7 @@ def extract_orb_features(
         # the radius-15 disc moments are low-pass already; one gather
         # instead of two is worth the sub-degree difference).
         smoothed = gaussian_blur(level_img[None, :, :, None], 2.0)[0, :, :, 0]
-        patches = extract_patches(smoothed, yx)
+        patches = gather_patches(smoothed, yx)
         angle = orientations_from_patches(patches)
         desc = brief_from_patches(patches, angle)
         level_scale = scale**level

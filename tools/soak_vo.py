@@ -30,6 +30,7 @@ def run_soak(
     features: int = 2000,
     levels: int = 8,
     out_dir: str | None = None,
+    max_map_points: int = 0,
 ):
     from pilotguru_tpu.formats import json_io
     from pilotguru_tpu.vo.camera import CameraSettings
@@ -57,6 +58,19 @@ def run_soak(
 
     def make_tracker():
         t = tracker_from_settings(settings)
+        if max_map_points:
+            # Engineered arena pressure (VERDICT r3 item 7): shrink the
+            # point arena at the reference feature budget so recycling
+            # actually engages on a soak-length ride. Rebuild the tracker
+            # (arena arrays are sized in __init__).
+            import dataclasses
+
+            from pilotguru_tpu.vo.tracking import MonocularTracker
+
+            config = dataclasses.replace(
+                t.config, max_map_points=max_map_points
+            )
+            t = MonocularTracker(t.camera, config)
         trackers.append(t)
         return t
 
@@ -123,9 +137,10 @@ if __name__ == "__main__":
     ap.add_argument("--fx", type=float, default=350.0)
     ap.add_argument("--features", type=int, default=2000)
     ap.add_argument("--levels", type=int, default=8)
+    ap.add_argument("--max_map_points", type=int, default=0)
     args = ap.parse_args()
     rep = run_soak(
         args.frames, args.speed, args.width, args.height, args.fx,
-        args.features, args.levels,
+        args.features, args.levels, max_map_points=args.max_map_points,
     )
     print(json.dumps(rep, indent=1))
