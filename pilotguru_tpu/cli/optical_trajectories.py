@@ -43,6 +43,18 @@ def main(argv=None):
             "(optical_trajectories.cc:53-57)."
         ),
     )
+    parser.add_argument(
+        "--visualize_live_port",
+        type=int,
+        default=None,
+        help=(
+            "Serve a LIVE tracking view over HTTP while the ride tracks "
+            "(MJPEG overlay stream + top-down map, vo/viewer.py) — the "
+            "runtime equivalent of the reference's Pangolin FrameDrawer/"
+            "MapDrawer windows (Viewer.cc) in a headless image. 0 binds "
+            "an ephemeral port (printed on startup)."
+        ),
+    )
     parser.add_argument("--rotation_smooth_sigma", type=int, default=0)
     parser.add_argument(
         "--image_scale",
@@ -72,6 +84,7 @@ def main(argv=None):
         image_scale=args.image_scale,
         per_segment_videos=args.output_per_segment_videos,
         visualize=args.visualize,
+        live_view_port=args.visualize_live_port,
     )
     print(f"{segments} trajectory segment(s) from {consumed} frames")
     return 0

@@ -476,8 +476,25 @@ def extract_orb_features(
         # blurred image (the reference's IC_Angle uses the raw level, but
         # the radius-15 disc moments are low-pass already; one gather
         # instead of two is worth the sub-degree difference).
-        smoothed = gaussian_blur(level_img[None, :, :, None], 2.0)[0, :, :, 0]
-        patches = gather_patches(smoothed, yx)
+        if _patch_impl() == "fused":
+            # One Pallas kernel gathers AND blurs the descriptor windows
+            # in VMEM (vo/patch_pallas.py gather_blurred_patches_pallas):
+            # the full-image Gaussian blur exists only to feed these
+            # patches, so the fused path deletes the blur stage entirely
+            # and its cost is independent of image resolution.
+            from pilotguru_tpu.vo.patch_pallas import (
+                gather_blurred_patches_pallas,
+            )
+
+            patches = gather_blurred_patches_pallas(
+                level_img, yx, _PATCH_SIZE,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            smoothed = gaussian_blur(level_img[None, :, :, None], 2.0)[
+                0, :, :, 0
+            ]
+            patches = gather_patches(smoothed, yx)
         angle = orientations_from_patches(patches)
         desc = brief_from_patches(patches, angle)
         level_scale = scale**level

@@ -398,6 +398,7 @@ def track_video_segments(
     per_segment_videos: bool = False,
     visualize: bool = False,
     fps: float = 30.0,
+    live_view_port: Optional[int] = None,
 ) -> Tuple[int, int]:
     """Segment loop (optical_trajectories.cc:91-111): fresh tracker per
     segment, restart after LOST, one JSON per valid segment.
@@ -416,8 +417,13 @@ def track_video_segments(
     — are dropped since they have no frame in the segment video).
 
     ``visualize`` writes a visualize-NNNN.mp4 overlay per segment (tracked
-    keypoints + status) — the headless stand-in for the reference's live
+    keypoints + status) — the offline stand-in for the reference's live
     Pangolin/FrameDrawer windows (--visualize).
+
+    ``live_view_port`` serves the LIVE equivalent over HTTP while the ride
+    tracks (vo/viewer.py: MJPEG overlay stream + top-down map canvas, the
+    FrameDrawer/MapDrawer pair of Viewer.cc) — port 0 binds an ephemeral
+    port, printed on startup.
     """
     os.makedirs(out_dir, exist_ok=True)
     if make_tracker is None:
@@ -428,6 +434,12 @@ def track_video_segments(
                 background_frames(frames), probe.camera, probe.config,
                 feature_batch_size,
             )
+    viewer = None
+    if live_view_port is not None:
+        from pilotguru_tpu.vo.viewer import LiveViewer
+
+        viewer = LiveViewer(live_view_port)
+        print(f"live tracker view: http://localhost:{viewer.port}/")
     segment = 0
     raw_segment = 0  # includes segments later rejected (video file naming)
     consumed = 0
@@ -468,21 +480,28 @@ def track_video_segments(
                     seg_writer.write(
                         cv2.cvtColor(gray_as_u8(frame.gray), cv2.COLOR_GRAY2BGR)
                     )
-            if visualize:
+            if visualize or viewer is not None:
                 import cv2
 
-                if viz_writer is None:
-                    viz_video_path = os.path.join(
-                        out_dir, f"visualize-{raw_segment:04d}.mp4"
-                    )
-                    h, w = frame.gray.shape
-                    viz_writer = cv2.VideoWriter(
-                        viz_video_path,
-                        cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
-                    )
-                viz_writer.write(
-                    _overlay_frame(frame.gray, tracker, frame, state, rows)
+                overlay = _overlay_frame(
+                    frame.gray, tracker, frame, state, rows
                 )
+                if visualize:
+                    if viz_writer is None:
+                        viz_video_path = os.path.join(
+                            out_dir, f"visualize-{raw_segment:04d}.mp4"
+                        )
+                        h, w = frame.gray.shape
+                        viz_writer = cv2.VideoWriter(
+                            viz_video_path,
+                            cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h),
+                        )
+                    viz_writer.write(overlay)
+                if viewer is not None:
+                    viewer.publish_frame(overlay)
+                    viewer.publish_state(
+                        tracker, frame.frame_id, state, rows.size
+                    )
 
         state = None
         while True:
@@ -595,4 +614,6 @@ def track_video_segments(
         raw_segment += 1
         if fed == 0:
             break
+    if viewer is not None:
+        viewer.close()
     return segment, consumed

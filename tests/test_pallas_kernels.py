@@ -15,7 +15,10 @@ import pytest
 
 from pilotguru_tpu.vo.fast_pallas import fast_nms_pallas, fast_scores_pallas
 from pilotguru_tpu.vo.features import extract_patches, fast_scores, nms3x3
-from pilotguru_tpu.vo.patch_pallas import gather_patches_pallas
+from pilotguru_tpu.vo.patch_pallas import (
+    gather_blurred_patches_pallas,
+    gather_patches_pallas,
+)
 
 
 class TestFastPallas:
@@ -96,3 +99,46 @@ class TestPatchGatherPallas:
         want = np.asarray(extract_patches(img, yx))
         got = np.asarray(gather_patches_pallas(img, yx, 39, interpret=True))
         np.testing.assert_array_equal(got, want)
+
+
+class TestFusedBlurPatchPallas:
+    """Fused gather + separable Gaussian blur (patch_pallas.py): interior
+    patches must match blur-then-gather exactly (same taps); border
+    patches differ by construction (edge-clamp of the blurred map vs blur
+    of the edge-padded raw image — both boundary heuristics) and are only
+    checked for shape/finiteness."""
+
+    def test_interior_matches_blur_then_gather(self):
+        from pilotguru_tpu.ml.augmentation import gaussian_blur
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(
+            rng.uniform(0, 1, size=(160, 200)).astype(np.float32)
+        )
+        yx = jnp.asarray(
+            np.stack(
+                [rng.integers(28, 132, 41), rng.integers(28, 172, 41)],
+                axis=1,
+            ).astype(np.int32)
+        )
+        smoothed = gaussian_blur(img[None, :, :, None], 2.0)[0, :, :, 0]
+        want = np.asarray(extract_patches(smoothed, yx))
+        got = np.asarray(
+            gather_blurred_patches_pallas(img, yx, 39, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_border_keypoints_finite(self):
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(
+            rng.uniform(0, 1, size=(64, 96)).astype(np.float32)
+        )
+        yx = jnp.asarray(
+            np.array([[0, 0], [0, 95], [63, 0], [63, 95]], np.int32)
+        )
+        got = np.asarray(
+            gather_blurred_patches_pallas(img, yx, 39, interpret=True)
+        )
+        assert got.shape == (4, 39, 39)
+        assert np.isfinite(got).all()
+        assert (got >= 0).all() and (got <= 1).all()

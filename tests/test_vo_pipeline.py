@@ -405,6 +405,69 @@ class TestOpticalTrajectoriesCli:
             assert viz.exists(), f"missing visualize video {viz}"
             assert frame_count(viz) >= frame_count(seg_video)
 
+    def test_live_view_serves_during_tracking(self, tmp_path):
+        """--visualize_live_port: the live HTTP viewer (vo/viewer.py, the
+        runtime equivalent of the reference's Pangolin Viewer.cc windows)
+        must serve the overlay frame and live map state while a ride
+        tracks. Uses an ephemeral port; fetches happen after tracking
+        completes (the server stays consistent until close) by patching
+        LiveViewer.close to capture the live state first."""
+        import json as json_mod
+        import urllib.request
+
+        import cv2
+
+        from pilotguru_tpu.cli import optical_trajectories
+        from pilotguru_tpu.vo import viewer as viewer_mod
+        from tests.synthetic import render_parallax_video
+
+        video = str(tmp_path / "video.mp4")
+        fx, fy, cx, cy, _ = render_parallax_video(video, frames=40)
+
+        yaml_path = str(tmp_path / "camera.yaml")
+        fs = cv2.FileStorage(yaml_path, cv2.FILE_STORAGE_WRITE)
+        for key, value in [
+            ("Camera_fx", fx), ("Camera_fy", fy), ("Camera_cx", cx),
+            ("Camera_cy", cy), ("Camera_fps", 30.0),
+            ("ORBextractor_nFeatures", 400), ("ORBextractor_scaleFactor", 1.2),
+            ("ORBextractor_nLevels", 2), ("ORBextractor_iniThFAST", 20),
+            ("ORBextractor_minThFAST", 7),
+        ]:
+            fs.write(key, value)
+        fs.release()
+
+        captured = {}
+        real_close = viewer_mod.LiveViewer.close
+
+        def capturing_close(self):
+            base = f"http://127.0.0.1:{self.port}"
+            with urllib.request.urlopen(base + "/state.json", timeout=5) as r:
+                captured["state"] = json_mod.loads(r.read())
+            with urllib.request.urlopen(base + "/frame.jpg", timeout=5) as r:
+                captured["jpeg"] = r.read()
+            real_close(self)
+
+        viewer_mod.LiveViewer.close = capturing_close
+        try:
+            rc = optical_trajectories.main(
+                [
+                    "--vocabulary_file=",
+                    f"--camera_settings={yaml_path}",
+                    f"--in_video={video}",
+                    f"--out_dir={tmp_path / 'out'}",
+                    "--visualize_live_port=0",
+                ]
+            )
+        finally:
+            viewer_mod.LiveViewer.close = real_close
+        assert rc == 0
+        assert captured["jpeg"][:2] == b"\xff\xd8"  # JPEG frame served
+        state = captured["state"]
+        assert state["frame_id"] >= 0
+        assert state["keyframes"] >= 2
+        assert state["map_points"] > 0
+        assert len(state["keyframe_centers"]) == state["keyframes"]
+
     def test_long_ride_soak(self, tmp_path):
         """Long-ride soak at the reference FEATURE budget (2000 feat / 8
         levels) with continuous scenery turnover: billboards are strewn
