@@ -129,8 +129,12 @@ def detect_candidate(tracker, kf: Keyframe, vote_handle=None):
     best = int(np.argmax(votes))
     if votes[best] < config.loop_min_match_count:
         return None
-    # Index into the CURRENT keyframe list.
-    return tracker.keyframes.index(old[best])
+    # Index into the CURRENT keyframe list — by identity, not list.index
+    # (Keyframe is a dataclass whose __eq__ compares ndarray fields).
+    for idx, existing in enumerate(tracker.keyframes):
+        if existing is old[best]:
+            return idx
+    return None
 
 
 @partial(jax.jit, static_argnames=("lm_iters",))
