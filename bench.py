@@ -335,9 +335,31 @@ def bench_vo():
         ref_raw = np.asarray(fast_scores(batch[0], 20.0 / 255.0))
         ref_nms = np.asarray(nms3x3(jnp.asarray(ref_raw)))
         pal_raw, pal_nms = fast_nms_pallas(batch[0], 20.0 / 255.0)
-        np.testing.assert_allclose(np.asarray(pal_raw), ref_raw, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(pal_nms), ref_nms, atol=1e-5)
-        assert ((np.asarray(pal_nms) > 0) == (ref_nms > 0)).all()
+        pal_raw_np, pal_nms_np = np.asarray(pal_raw), np.asarray(pal_nms)
+        np.testing.assert_allclose(pal_raw_np, ref_raw, atol=1e-5)
+        # NMS compares scores EXACTLY, so the two implementations' ulp-level
+        # accumulation-order differences (measured <=3e-6 on chip) can flip
+        # keep/suppress wherever two neighbors tie to within an ulp. Assert
+        # (a) the fused kernel's NMS is bit-identical to nms3x3 over its own
+        # raw scores (semantic parity, no cross-impl float sensitivity), and
+        # (b) every cross-impl disagreement sits in that tie zone.
+        self_nms = np.asarray(nms3x3(pal_raw))
+        assert (self_nms == pal_nms_np).all(), "fused NMS != nms3x3(own raw)"
+        flips = np.argwhere(np.abs(pal_nms_np - ref_nms) > 1e-5)
+        if flips.size:
+            pad = np.pad(ref_raw, 1, constant_values=0.0)
+            win = np.stack(
+                [
+                    pad[dy : dy + ref_raw.shape[0], dx : dx + ref_raw.shape[1]]
+                    for dy in range(3)
+                    for dx in range(3)
+                ]
+            ).max(axis=0)
+            gap = np.abs(ref_raw - win)[flips[:, 0], flips[:, 1]]
+            assert gap.max() <= 1e-5, (
+                f"{flips.shape[0]} NMS flips beyond the ulp tie zone "
+                f"(max |score - 3x3 max| = {gap.max():.2e})"
+            )
 
         # Sub-millisecond stages need long chains: the two-chain difference
         # must clear the tunnel's run-to-run noise (a few ms), so 128 iters
