@@ -1,9 +1,20 @@
-"""Local bundle adjustment as dense fixed-shape Levenberg-Marquardt.
+"""Local bundle adjustment: Schur-complement Levenberg-Marquardt.
 
 Replaces Optimizer::LocalBundleAdjustment (the reference's g2o sparse LM,
-thirdparty/orb-slam2/src/Optimizer.cc). Local BA windows are small — tens of
-keyframes x hundreds of points — so the full dense normal-equation solve
-fits the MXU comfortably; sparse Schur machinery buys nothing at this size.
+thirdparty/orb-slam2/src/Optimizer.cc). The default solver exploits the
+bipartite BA structure the way g2o's BlockSolver does, but with fixed TPU
+shapes: per-observation 2x9 Jacobians (vmapped forward-mode), segment-summed
+into per-pose 6x6 / per-point 3x3 normal-equation blocks plus the pose-point
+coupling W, batched closed-form 3x3 point-block inverses, and one dense
+6K x 6K reduced-camera solve per iteration. At local-BA scale (K ~ 6 poses,
+M ~ 1-2k points, O ~ 2k observations) this is ~1000x fewer FLOPs per
+iteration than flattening to a dense (6K + 3M)-parameter system: the dense
+path's jacfwd sweep + LU on a ~3.9k-square matrix measured 816 ms/call on a
+v5e-class chip; the Schur path retires the same 30 LM iterations in a few
+milliseconds.
+
+A dense fallback (``solver="dense"``) retains the flattened
+levenberg_marquardt formulation as a cross-check oracle for tests.
 
 Parameter layout: [K * 6 pose params (world->camera rotvec+t), M * 3 point
 coords], all observations flat with (pose_idx, point_idx, uv, valid). Gauge
@@ -76,12 +87,216 @@ def _residuals(flat, problem: BAProblem, weights, gauge_anchor, anchor_dist):
     return jnp.concatenate([res.ravel(), pose0_prior, scale_prior[None]])
 
 
+def _inv3x3(mats):
+    """Batched closed-form 3x3 inverse via the adjugate ([..., 3, 3])."""
+    a = mats[..., 0, 0]
+    b = mats[..., 0, 1]
+    c = mats[..., 0, 2]
+    d = mats[..., 1, 0]
+    e = mats[..., 1, 1]
+    f = mats[..., 1, 2]
+    g = mats[..., 2, 0]
+    h = mats[..., 2, 1]
+    i = mats[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)[..., None, None]
+
+
+def _schur_lm(
+    problem: BAProblem,
+    weights,
+    gauge_anchor,
+    anchor_dist,
+    num_iters: int,
+    init_damping: float = 1e-3,
+    damping_down: float = 1.0 / 3.0,
+    min_damping: float = 1e-12,
+    max_damping: float = 1e12,
+    grad_tol: float = 1e-10,
+    diag_regularization: float = 1e-12,
+):
+    """One IRLS round of BA as Schur-complement LM (weights held fixed).
+
+    Returns (poses6 [K, 6], points [M, 3], loss []). Same Nielsen gain-ratio
+    damping schedule as solvers.levenberg_marquardt; the normal equations are
+    never materialized at full (6K + 3M) size — the point block is solved in
+    closed form and only the 6K x 6K reduced camera system is factorized.
+    """
+    k = problem.poses6.shape[0]
+    m = problem.points.shape[0]
+    dtype = problem.points.dtype
+    obs_p = problem.obs_pose
+    obs_l = problem.obs_point
+    eye_p = jnp.eye(6 * k, dtype=dtype)
+
+    def res_jac(poses, points):
+        """Weighted residuals [O, 2] + Jacobian blocks A [O, 2, 6], B [O, 2, 3]."""
+
+        def one(o_p, o_l, uv, w):
+            def f(pl):
+                pose6, pt = pl[:6], pl[6:]
+                r = rotvec_to_matrix(pose6[:3])
+                cam = r @ pt + pose6[3:]
+                res = project(cam) - uv
+                # Behind-camera observations: constant penalty, zero slope
+                # (matches the dense formulation's where() semantics).
+                res = jnp.where(cam[2] <= 1e-6, jnp.ones(2, dtype), res)
+                return res * w
+
+            pl = jnp.concatenate([poses[o_p], points[o_l]])
+            jac = jax.jacfwd(f)(pl)  # [2, 9]
+            return f(pl), jac[:, :6], jac[:, 6:]
+
+        return jax.vmap(one)(obs_p, obs_l, problem.obs_uv, weights)
+
+    def prior_res(poses_flat):
+        poses = poses_flat.reshape(k, 6)
+        pose0_prior = 1e3 * (poses[0] - gauge_anchor)
+        c0 = _camera_center(poses[0])
+        c1 = _camera_center(poses[jnp.minimum(1, k - 1)])
+        scale_prior = 1e2 * (jnp.linalg.norm(c1 - c0) - anchor_dist)
+        return jnp.concatenate([pose0_prior, scale_prior[None]])
+
+    def loss_of(poses, points):
+        res, _, _ = res_jac(poses, points)
+        pr = prior_res(poses.ravel())
+        return jnp.sum(res * res) + jnp.sum(pr * pr)
+
+    def step(state, _):
+        poses, points, damping, nu, loss, iters, done = state
+        res, a_blk, b_blk = res_jac(poses, points)
+
+        # Normal-equation blocks via segment sums over observations.
+        h_pp = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", a_blk, a_blk), obs_p, num_segments=k
+        )  # [K, 6, 6]
+        g_p = jax.ops.segment_sum(
+            jnp.einsum("oia,oi->oa", a_blk, res), obs_p, num_segments=k
+        )  # [K, 6]
+        h_ll = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", b_blk, b_blk), obs_l, num_segments=m
+        )  # [M, 3, 3]
+        g_l = jax.ops.segment_sum(
+            jnp.einsum("oia,oi->oa", b_blk, res), obs_l, num_segments=m
+        )  # [M, 3]
+        w_pl = jax.ops.segment_sum(
+            jnp.einsum("oia,oib->oab", a_blk, b_blk),
+            obs_l * k + obs_p,
+            num_segments=m * k,
+        ).reshape(m, k, 6, 3)
+
+        # Gauge priors act on poses only; their Jacobian is tiny (7 x 6K).
+        pr = prior_res(poses.ravel())
+        j_pr = jax.jacfwd(prior_res)(poses.ravel())  # [7, 6K]
+        p_full = jax.scipy.linalg.block_diag(*h_pp) + j_pr.T @ j_pr
+        g_pose = g_p.ravel() + j_pr.T @ pr  # [6K]
+
+        # Marquardt scaling diagonals (match the dense solver's regularized
+        # diagonal damping).
+        diag_p = jnp.diagonal(p_full) + diag_regularization
+        diag_l = (
+            jnp.diagonal(h_ll, axis1=-2, axis2=-1) + diag_regularization
+        )  # [M, 3]
+
+        p_damped = (
+            p_full
+            + damping * jnp.diagflat(diag_p)
+            + diag_regularization * eye_p
+        )
+        h_ll_damped = h_ll + (
+            damping * diag_l + diag_regularization
+        )[..., None] * jnp.eye(3, dtype=dtype)
+        h_ll_inv = _inv3x3(h_ll_damped)  # [M, 3, 3]
+
+        # Reduced camera system: S = P - W Hll^-1 W^T, rhs = -gp + W Hll^-1 gl.
+        w_hinv = jnp.einsum("mkia,mab->mkib", w_pl, h_ll_inv)  # [M, K, 6, 3]
+        s = p_damped - jnp.einsum("mkib,mljb->kilj", w_hinv, w_pl).reshape(
+            6 * k, 6 * k
+        )
+        rhs = -g_pose + jnp.einsum("mkib,mb->ki", w_hinv, g_l).ravel()
+        dx_p = jnp.linalg.solve(s, rhs)  # [6K]
+        dx_l = -jnp.einsum(
+            "mab,mb->ma",
+            h_ll_inv,
+            g_l + jnp.einsum("mkia,ki->ma", w_pl, dx_p.reshape(k, 6)),
+        )  # [M, 3]
+
+        poses_try = poses + dx_p.reshape(k, 6)
+        points_try = points + dx_l
+        loss_try = loss_of(poses_try, points_try)
+
+        # Nielsen gain-ratio damping, identical schedule to the dense LM.
+        predicted = (
+            jnp.dot(dx_p, damping * (diag_p * dx_p) - g_pose)
+            + jnp.sum(dx_l * (damping * (diag_l * dx_l) - g_l))
+        )
+        rho = (loss - loss_try) / jnp.maximum(predicted, 1e-300)
+        accept = (loss_try < loss) & (predicted > 0)
+
+        grad_small = (
+            jnp.maximum(
+                jnp.max(jnp.abs(2.0 * g_pose)), jnp.max(jnp.abs(2.0 * g_l))
+            )
+            < grad_tol
+        )
+        done_next = done | grad_small
+
+        keep = done | ~accept
+        poses_next = jnp.where(keep, poses, poses_try)
+        points_next = jnp.where(keep, points, points_try)
+        loss_next = jnp.where(keep, loss, loss_try)
+        shrink = jnp.maximum(
+            jnp.asarray(damping_down, dtype), 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        damping_next = jnp.where(accept, damping * shrink, damping * nu)
+        nu_next = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
+        damping_next = jnp.where(done, damping, damping_next)
+        nu_next = jnp.where(done, nu, nu_next)
+        damping_next = jnp.clip(damping_next, min_damping, max_damping)
+        iters_next = iters + jnp.where(keep, 0, 1)
+        return (
+            poses_next,
+            points_next,
+            damping_next,
+            nu_next,
+            loss_next,
+            iters_next,
+            done_next,
+        ), None
+
+    init = (
+        problem.poses6,
+        problem.points,
+        jnp.asarray(init_damping, dtype),
+        jnp.asarray(3.0, dtype),
+        loss_of(problem.poses6, problem.points),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    (poses, points, _, _, loss, _, _), _ = jax.lax.scan(
+        step, init, None, length=num_iters
+    )
+    return poses, points, loss
+
+
 def bundle_adjust(
     problem: BAProblem,
     huber_delta: float = 0.006,
     inlier_threshold: float = 0.01,
     irls_rounds: int = 2,
     lm_iters: int = 15,
+    solver: str = "schur",
 ) -> BAResult:
     """Robust local BA: IRLS Huber reweighting around dense LM."""
     k = problem.poses6.shape[0]
@@ -119,12 +334,25 @@ def bundle_adjust(
         # Huber and the inlier gate act on sigma-scaled norms so a coarse
         # (high-level) observation is allowed proportionally more residual.
         w = base_w * huber_weights(current_norms(flat) * invsigma, huber_delta)
-        result = levenberg_marquardt(
-            lambda f: _residuals(f, problem, w, gauge_anchor, anchor_dist),
-            flat,
-            num_iters=lm_iters,
-        )
-        flat, loss = result.x, result.loss
+        if solver == "schur":
+            poses_r, points_r, loss = _schur_lm(
+                problem._replace(
+                    poses6=flat[: 6 * k].reshape(k, 6),
+                    points=flat[6 * k :].reshape(problem.points.shape[0], 3),
+                ),
+                w,
+                gauge_anchor,
+                anchor_dist,
+                num_iters=lm_iters,
+            )
+            flat = jnp.concatenate([poses_r.ravel(), points_r.ravel()])
+        else:
+            result = levenberg_marquardt(
+                lambda f: _residuals(f, problem, w, gauge_anchor, anchor_dist),
+                flat,
+                num_iters=lm_iters,
+            )
+            flat, loss = result.x, result.loss
 
     norms = current_norms(flat) * invsigma
     inliers = (norms < inlier_threshold) & problem.obs_valid

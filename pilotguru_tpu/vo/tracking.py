@@ -127,7 +127,7 @@ _optimize_pose = jax.jit(
 _bundle_adjust = jax.jit(
     bundle_adjust,
     static_argnames=(
-        "huber_delta", "inlier_threshold", "irls_rounds", "lm_iters",
+        "huber_delta", "inlier_threshold", "irls_rounds", "lm_iters", "solver",
     ),
 )
 _triangulate = jax.jit(triangulate)

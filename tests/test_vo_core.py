@@ -438,6 +438,69 @@ class TestBundleAdjustment:
         assert after < before * 1e-2, (before, after)
         assert np.asarray(result.obs_inliers).mean() > 0.95
 
+    def test_schur_matches_dense_solver(self):
+        """The Schur-complement LM must land on the same optimum as the
+        flattened dense formulation it replaced (both solve the identical
+        damped normal equations; only the factorization differs)."""
+        rng = np.random.default_rng(7)
+        k, m = 4, 50
+        points = np.stack(
+            [rng.uniform(-2, 2, m), rng.uniform(-2, 2, m), rng.uniform(5, 12, m)],
+            axis=1,
+        )
+        poses = np.zeros((k, 6))
+        poses[:, 3] = -0.3 * np.arange(k)
+        poses[:, 1] = 0.015 * np.arange(k)
+
+        obs_pose, obs_point, obs_uv = [], [], []
+        for i in range(k):
+            uv = np.asarray(
+                pose_lib.project(
+                    pose_lib.transform(jnp.asarray(poses[i]), jnp.asarray(points))
+                )
+            )
+            obs_pose.extend([i] * m)
+            obs_point.extend(range(m))
+            obs_uv.append(uv)
+        obs_uv = np.concatenate(obs_uv) + rng.normal(scale=3e-4, size=(k * m, 2))
+
+        noisy_poses = poses + rng.normal(scale=0.01, size=poses.shape)
+        noisy_poses[0] = poses[0]
+        noisy_points = points + rng.normal(scale=0.05, size=points.shape)
+        # Exercise padding: a masked-out point and masked-out observations.
+        point_valid = np.ones(m, bool)
+        point_valid[-1] = False
+        obs_valid = np.ones(k * m, bool)
+        obs_valid[-3:] = False
+        invsigma = rng.uniform(0.5, 1.0, size=k * m)
+
+        problem = ba_lib.BAProblem(
+            jnp.asarray(noisy_poses),
+            jnp.asarray(noisy_points),
+            jnp.asarray(obs_pose, jnp.int32),
+            jnp.asarray(obs_point, jnp.int32),
+            jnp.asarray(obs_uv),
+            jnp.asarray(obs_valid),
+            jnp.asarray(point_valid),
+            jnp.asarray(invsigma),
+        )
+        r_dense = ba_lib.bundle_adjust(problem, solver="dense")
+        r_schur = ba_lib.bundle_adjust(problem, solver="schur")
+        np.testing.assert_allclose(
+            np.asarray(r_schur.poses6), np.asarray(r_dense.poses6), atol=1e-5
+        )
+        valid = point_valid
+        np.testing.assert_allclose(
+            np.asarray(r_schur.points)[valid],
+            np.asarray(r_dense.points)[valid],
+            atol=1e-4,
+        )
+        assert bool(
+            np.all(
+                np.asarray(r_schur.obs_inliers) == np.asarray(r_dense.obs_inliers)
+            )
+        )
+
 
 class TestFlatten:
     def test_pca_plane_and_validity(self):
