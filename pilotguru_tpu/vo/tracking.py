@@ -62,6 +62,11 @@ NOT_INITIALIZED = "NOT_INITIALIZED"
 OK = "OK"
 LOST = "LOST"
 
+# Distinct "caller did not pre-dispatch" marker for the split
+# dispatch/commit keyframe-maintenance methods (None is a legitimate
+# dispatch result meaning "nothing to do on device").
+_NOT_DISPATCHED = object()
+
 
 # Host-side 3x3 rotation helpers (numpy twins of vo/pose.py): pose
 # composition runs several times per frame on scalars-and-3-vectors, where
@@ -1629,12 +1634,21 @@ class MonocularTracker:
             # Re-anchor the just-appended frame to the new keyframe.
             self.trajectory[-1].ref_kf_id = kf.kf_id
             self.trajectory[-1].rel6 = np.zeros(6)
-            self._create_new_points(kf)
+            # Dispatch triangulation AND the fuse sweep together before
+            # pulling either: independent device programs whose host copies
+            # overlap, so the two keyframe round trips cost one RTT (the
+            # reference hides this latency in the LocalMapping thread).
+            create_dev = self._dispatch_create_points(kf)
+            fuse_dev = self._dispatch_fuse(kf)
+            for handle in (create_dev, fuse_dev):
+                if hasattr(handle, "copy_to_host_async"):
+                    handle.copy_to_host_async()
+            self._create_new_points(kf, dispatched=create_dev)
             # LocalMapping-equivalent maintenance, in the reference's order:
             # cull unstable recent points, fuse duplicates, (BA), cull
             # redundant keyframes (LocalMapping::Run).
             self._map_point_culling(kf)
-            self._fuse_duplicates(kf)
+            self._fuse_duplicates(kf, dispatched=fuse_dev)
             # Dispatch the loop-detection vote sweep BEFORE local BA: the
             # sweep depends only on descriptors, so its compute + host
             # transfer hide entirely behind the BA round trip (the
@@ -1655,39 +1669,51 @@ class MonocularTracker:
             self._frames_since_keyframe = 0
 
     # ----------------------------------------------------------- map growth
-    def _create_new_points(self, kf: Keyframe):
-        """Triangulate unmatched features against the previous keyframe
-        (LocalMapping::CreateNewMapPoints analogue)."""
+    def _dispatch_create_points(self, kf: Keyframe):
+        """Dispatch the triangulation program (LocalMapping::
+        CreateNewMapPoints analogue); returns the device result handle (or
+        None when either keyframe lacks unmatched features). Split from
+        the commit so its device round trip can overlap the fuse sweep's."""
         prev = self.keyframes[-2]
         un_prev = prev.kp_valid & (prev.map_point < 0)
         un_curr = kf.kp_valid & (kf.map_point < 0)
         if un_prev.sum() < 8 or un_curr.sum() < 8:
-            return
+            return None
         prev_desc_dev, _ = self.kf_descriptors_device(prev)
         curr_desc_dev, _ = self.kf_descriptors_device(kf)
         delta = self._pose_delta(prev.pose6, kf.pose6)
-        k = kf.kp_norm.shape[0]
-        packed = np.asarray(
-            fused_create_points(
-                prev_desc_dev,
-                jnp.asarray(un_prev),
-                jnp.asarray(prev.kp_norm),
-                jnp.asarray(prev.kp_level),
-                jnp.asarray(prev.kp_angle),
-                curr_desc_dev,
-                jnp.asarray(un_curr),
-                jnp.asarray(kf.kp_norm),
-                jnp.asarray(kf.kp_level),
-                jnp.asarray(kf.kp_angle),
-                jnp.asarray(delta),
-                jnp.asarray(prev.pose6),
-                min_parallax_cos=self.config.min_parallax_cos,
-                scale=self.config.scale,
-                use_rotation_check=self.config.rotation_consistency,
-                reproj_gate=self._reproj_gate,
-                epipolar_gate=self._epi_gate,
-            )
+        return fused_create_points(
+            prev_desc_dev,
+            jnp.asarray(un_prev),
+            jnp.asarray(prev.kp_norm),
+            jnp.asarray(prev.kp_level),
+            jnp.asarray(prev.kp_angle),
+            curr_desc_dev,
+            jnp.asarray(un_curr),
+            jnp.asarray(kf.kp_norm),
+            jnp.asarray(kf.kp_level),
+            jnp.asarray(kf.kp_angle),
+            jnp.asarray(delta),
+            jnp.asarray(prev.pose6),
+            min_parallax_cos=self.config.min_parallax_cos,
+            scale=self.config.scale,
+            use_rotation_check=self.config.rotation_consistency,
+            reproj_gate=self._reproj_gate,
+            epipolar_gate=self._epi_gate,
         )
+
+    def _create_new_points(self, kf: Keyframe, dispatched=_NOT_DISPATCHED):
+        """Triangulate unmatched features against the previous keyframe
+        (LocalMapping::CreateNewMapPoints analogue)."""
+        packed_dev = (
+            dispatched if dispatched is not _NOT_DISPATCHED
+            else self._dispatch_create_points(kf)
+        )
+        if packed_dev is None:
+            return
+        prev = self.keyframes[-2]
+        k = kf.kp_norm.shape[0]
+        packed = np.asarray(packed_dev)
         idx = packed[:k].astype(np.int32)
         good = packed[k : 2 * k] > 0.5
         pts_world_all = packed[2 * k :].reshape(k, 3).astype(np.float64)
@@ -1735,7 +1761,39 @@ class MonocularTracker:
         graduated = recent[~bad][age[~bad] >= 3]
         self.point_recent[graduated] = False
 
-    def _fuse_duplicates(self, kf: Keyframe, whole_map: bool = False):
+    def _dispatch_fuse(self, kf: Keyframe, whole_map: bool = False):
+        """Dispatch the fuse projection sweep; returns the device result
+        handle, or None when there are no candidate points."""
+        observed = np.zeros(self.config.max_map_points, bool)
+        refs = kf.map_point[kf.map_point >= 0]
+        observed[refs] = True
+
+        cand = self.point_valid & ~observed
+        if not whole_map:
+            cand &= self._local_points
+        if not cand.any():
+            return None
+        kf_desc_dev, _ = self.kf_descriptors_device(kf)
+        return fused_project_match(
+            jnp.asarray(self.points),
+            jnp.asarray(self.point_desc),
+            jnp.asarray(cand),
+            jnp.asarray(self.point_level),
+            jnp.asarray(kf.pose6),
+            kf_desc_dev,
+            jnp.asarray(kf.kp_norm),
+            jnp.asarray(kf.kp_valid),
+            jnp.asarray(kf.kp_level),
+            search_radius=self._fuse_rad,
+            max_distance=matching.HAMMING_LOW,
+            scale=self.config.scale,
+            level_window=self.config.level_window,
+        )
+
+    def _fuse_duplicates(
+        self, kf: Keyframe, whole_map: bool = False,
+        dispatched=_NOT_DISPATCHED,
+    ):
         """LocalMapping::SearchInNeighbors (LocalMapping.cc:454-525): project
         map points NOT yet observed in the new keyframe into it; a match
         onto a keypoint that already references a different point merges the
@@ -1746,38 +1804,33 @@ class MonocularTracker:
         against covisible neighbor keyframes) — fusing against the whole map
         would silently stitch drifted revisits and mask loop errors.
         ``whole_map=True`` is the post-loop-closure global fuse
-        (LoopClosing::SearchAndFuse), where stitching IS the point."""
-        observed = np.zeros(self.config.max_map_points, bool)
-        refs = kf.map_point[kf.map_point >= 0]
-        observed[refs] = True
+        (LoopClosing::SearchAndFuse), where stitching IS the point.
 
-        cand = self.point_valid & ~observed
-        if not whole_map:
-            cand &= self._local_points
-        if not cand.any():
-            return
-        kf_desc_dev, _ = self.kf_descriptors_device(kf)
-        m = self.config.max_map_points
-        packed = np.asarray(
-            fused_project_match(
-                jnp.asarray(self.points),
-                jnp.asarray(self.point_desc),
-                jnp.asarray(cand),
-                jnp.asarray(self.point_level),
-                jnp.asarray(kf.pose6),
-                kf_desc_dev,
-                jnp.asarray(kf.kp_norm),
-                jnp.asarray(kf.kp_valid),
-                jnp.asarray(kf.kp_level),
-                search_radius=self._fuse_rad,
-                max_distance=matching.HAMMING_LOW,
-                scale=self.config.scale,
-                level_window=self.config.level_window,
-            )
+        ``dispatched``: pre-dispatched _dispatch_fuse handle; passing it
+        overlaps this sweep's device round trip with point creation (the
+        candidate set is identical either way — points created at this
+        keyframe are excluded as not-yet-valid at dispatch time and as
+        observed-in-kf at commit time; commits filter stale pids below)."""
+        packed_dev = (
+            dispatched if dispatched is not _NOT_DISPATCHED
+            else self._dispatch_fuse(kf, whole_map)
         )
+        if packed_dev is None:
+            return
+        m = self.config.max_map_points
+        packed = np.asarray(packed_dev)
         match_idx = packed[:m].astype(np.int32)
         match_ok = packed[m:] > 0.5
         pids = np.nonzero(match_ok)[0]
+        # On the overlapped path the arena may have mutated between dispatch
+        # and commit: _map_point_culling can invalidate a candidate, and
+        # _free_slots recycling can hand its slot to a point created at THIS
+        # keyframe. Drop both (matches the reference's cull-then-fuse order).
+        if pids.size:
+            keep = self.point_valid[pids] & (
+                self.point_first_kf[pids] != kf.kf_id
+            )
+            pids = pids[keep]
         if pids.size == 0:
             return
         obs_counts = self._point_observations()
@@ -1868,25 +1921,35 @@ class MonocularTracker:
         )
 
     def _windowed_bundle_adjust(self, window, pad_poses_to=None):
-        obs_pose, obs_point, obs_uv, obs_invs = [], [], [], []
         inv_scale = 1.0 / self.config.scale
-        point_ids = {}
+        ki_parts, pid_parts, uv_parts, invs_parts = [], [], [], []
         for ki, kf in enumerate(window):
-            kp_rows = np.nonzero(kf.map_point >= 0)[0]
-            for row in kp_rows:
-                pid = int(kf.map_point[row])
-                if not self.point_valid[pid]:
-                    continue
-                local_pid = point_ids.setdefault(pid, len(point_ids))
-                obs_pose.append(ki)
-                obs_point.append(local_pid)
-                obs_uv.append(kf.kp_norm[row])
-                # Per-level information weight (Optimizer.cc:126-127): an
-                # observation from pyramid level L carries sigma ~ scale**L.
-                obs_invs.append(inv_scale ** int(kf.kp_level[row]))
-        if len(point_ids) < 10 or len(obs_uv) < 30:
+            rows = np.nonzero(kf.map_point >= 0)[0]
+            kf_pids = kf.map_point[rows]
+            ok = self.point_valid[kf_pids]
+            rows, kf_pids = rows[ok], kf_pids[ok]
+            ki_parts.append(np.full(rows.size, ki, np.int32))
+            pid_parts.append(kf_pids)
+            uv_parts.append(kf.kp_norm[rows])
+            # Per-level information weight (Optimizer.cc:126-127): an
+            # observation from pyramid level L carries sigma ~ scale**L.
+            invs_parts.append(inv_scale ** kf.kp_level[rows].astype(np.float64))
+        pid_cat = np.concatenate(pid_parts) if pid_parts else np.zeros(0, int)
+        # Local point ids in first-appearance order (keeps device inputs
+        # bitwise identical to the old dict.setdefault assembly).
+        uniq, first_idx, inverse = np.unique(
+            pid_cat, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty(order.size, np.int64)
+        rank[order] = np.arange(order.size)
+        obs_pose = np.concatenate(ki_parts)
+        obs_point = rank[inverse]
+        obs_uv = np.concatenate(uv_parts) if uv_parts else np.zeros((0, 2))
+        obs_invs = np.concatenate(invs_parts)
+        if uniq.size < 10 or obs_uv.shape[0] < 30:
             return
-        pids = np.asarray(sorted(point_ids, key=point_ids.get))
+        pids = uniq[order]
 
         # Pad to fixed buckets so the jitted BA compiles a handful of shapes
         # over the whole ride instead of once per keyframe: poses padded to
@@ -1907,17 +1970,18 @@ class MonocularTracker:
         pts[len(pids):, 2] = 1.0  # benign padding in front of the camera
         point_valid = np.zeros(num_m, bool)
         point_valid[: len(pids)] = True
-        num_o = bucket(len(obs_uv), 1024)
+        num_obs = obs_uv.shape[0]
+        num_o = bucket(num_obs, 1024)
         o_pose = np.zeros(num_o, np.int32)
         o_point = np.zeros(num_o, np.int32)
         o_uv = np.zeros((num_o, 2))
         o_valid = np.zeros(num_o, bool)
-        o_pose[: len(obs_pose)] = obs_pose
-        o_point[: len(obs_point)] = obs_point
-        o_uv[: len(obs_uv)] = np.stack(obs_uv)
-        o_valid[: len(obs_uv)] = True
+        o_pose[:num_obs] = obs_pose
+        o_point[:num_obs] = obs_point
+        o_uv[:num_obs] = obs_uv
+        o_valid[:num_obs] = True
         o_invs = np.ones(num_o)
-        o_invs[: len(obs_invs)] = obs_invs
+        o_invs[:num_obs] = obs_invs
 
         problem = BAProblem(
             jnp.asarray(poses),
