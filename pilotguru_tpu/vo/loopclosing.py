@@ -345,6 +345,10 @@ def detect_and_close(tracker, kf: Keyframe, vote_handle=None):
     cand_idx = detect_candidate(tracker, kf, vote_handle)
     if cand_idx is None:
         return None
+    # A closure is actually being attempted (rare): fold in any in-flight
+    # deferred local BA first so the Sim3 fit and map correction run on
+    # refined geometry, exactly as the synchronous path would.
+    tracker._apply_pending_ba()
     cand = tracker.keyframes[cand_idx]
     fit = relative_sim3(tracker, kf, cand)
     if fit is None:

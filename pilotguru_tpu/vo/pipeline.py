@@ -9,7 +9,10 @@ trajectory-N.json, then restart a fresh tracker on the remaining video.
 
 from __future__ import annotations
 
+import functools
 import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
@@ -55,6 +58,76 @@ def gray_as_u8(gray: np.ndarray) -> np.ndarray:
     return np.clip(gray * 255.0, 0.0, 255.0).astype(np.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _extract_pack_jit(
+    camera, num_levels, scale, total_budget, threshold, devices
+):
+    """Jitted batch extractor, cached per (camera, orb-config, device set).
+
+    Compiling this program costs ~26 s through the remote-compile tunnel;
+    the original closure-per-call design re-jitted (and re-COMPILED) it on
+    every prefetch_features invocation, which put that cost inside every
+    tracked ride even after a warmup run. Module-level caching makes the
+    compile once-per-process, so a warm run actually warms the timed run.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pilotguru_tpu.vo.features import extract_orb_features_batch
+    from pilotguru_tpu.vo.tracking import normalize_keypoints_device
+
+    def extract_pack(images):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        kps = extract_orb_features_batch(
+            images,
+            num_levels=num_levels,
+            scale=scale,
+            total_budget=total_budget,
+            threshold=threshold,
+        )
+        kp_norm = normalize_keypoints_device(kps.xy, camera)
+        dt = kp_norm.dtype
+        packed = jnp.concatenate(
+            [
+                kp_norm,
+                kps.valid.astype(dt)[..., None],
+                kps.level.astype(dt)[..., None],
+                kps.angle.astype(dt)[..., None],
+            ],
+            axis=-1,
+        )
+        return packed, kp_norm, kps.descriptors, kps.valid, kps.level
+
+    batch_sharding = None
+    if len(devices) > 1:
+        mesh = Mesh(np.asarray(devices), ("frames",))
+        extract_pack = jax.shard_map(
+            extract_pack,
+            mesh=mesh,
+            in_specs=P("frames"),
+            out_specs=(P("frames"),) * 5,
+        )
+        batch_sharding = NamedSharding(mesh, P("frames"))
+
+    def extract_split(images):
+        # Per-frame output slices happen INSIDE the jitted program: the
+        # prefetch worker thread must issue no eager device ops (an eager
+        # getitem racing the consumer thread's jit dispatch aborts the CPU
+        # client), and per-frame device rows are what the tracker consumes.
+        packed, kp_norm, desc, valid, level = extract_pack(images)
+        n = images.shape[0]
+        return packed, (
+            [kp_norm[i] for i in range(n)],
+            [desc[i] for i in range(n)],
+            [valid[i] for i in range(n)],
+            [level[i] for i in range(n)],
+        )
+
+    return jax.jit(extract_split), batch_sharding
+
+
 def prefetch_features(
     frames: Iterator[VideoFrame],
     camera,
@@ -86,13 +159,15 @@ def prefetch_features(
     explicit device list (defaults to all local devices; single-device
     keeps the plain path). batch_size is rounded up to a device-count
     multiple by the existing tail padding.
+
+    The whole launch/finish loop runs in a DAEMON WORKER THREAD feeding a
+    bounded queue: frame upload (~100 ms per 8-frame 720p batch through a
+    remote tunnel), extraction, and the packed pull all overlap the
+    consumer's tracking work instead of serializing with it. Queue depth
+    bounds device memory at ~3 batches of descriptors in flight.
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-    from pilotguru_tpu.vo.features import extract_orb_features_batch
-    from pilotguru_tpu.vo.tracking import normalize_keypoints_device
 
     if devices is None:
         devices = jax.devices()
@@ -100,41 +175,14 @@ def prefetch_features(
     if n_dev > 1:
         batch_size = -(-batch_size // n_dev) * n_dev
 
-    def extract_pack(images):
-        if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 255.0
-        kps = extract_orb_features_batch(
-            images,
-            num_levels=config.num_levels,
-            scale=config.scale,
-            total_budget=config.total_budget,
-            threshold=config.fast_threshold,
-        )
-        kp_norm = normalize_keypoints_device(kps.xy, camera)
-        dt = kp_norm.dtype
-        packed = jnp.concatenate(
-            [
-                kp_norm,
-                kps.valid.astype(dt)[..., None],
-                kps.level.astype(dt)[..., None],
-                kps.angle.astype(dt)[..., None],
-            ],
-            axis=-1,
-        )
-        return packed, kp_norm, kps.descriptors, kps.valid, kps.level
-
-    if n_dev > 1:
-        mesh = Mesh(np.asarray(devices), ("frames",))
-        extract_pack = jax.shard_map(
-            extract_pack,
-            mesh=mesh,
-            in_specs=P("frames"),
-            out_specs=(P("frames"),) * 5,
-        )
-        batch_sharding = NamedSharding(mesh, P("frames"))
-    else:
-        batch_sharding = None
-    extract_pack = jax.jit(extract_pack)
+    extract_pack, batch_sharding = _extract_pack_jit(
+        camera,
+        config.num_levels,
+        config.scale,
+        config.total_budget,
+        config.fast_threshold,
+        tuple(devices),
+    )
 
     def launch(batch):
         grays = [np.asarray(f.gray) for f in batch]
@@ -145,13 +193,13 @@ def prefetch_features(
             device_batch = jax.device_put(stacked, batch_sharding)
         else:
             device_batch = jnp.asarray(stacked)
-        packed, kp_norm, desc, valid, level = extract_pack(device_batch)
+        packed, rows = extract_pack(device_batch)
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
-        return batch, packed, kp_norm, desc, valid, level
+        return batch, packed, rows
 
     def finish(launched):
-        batch, packed, kp_norm, desc, valid, level = launched
+        batch, packed, (kp_norm, desc, valid, level) = launched
         host = np.asarray(packed)
         for i, f in enumerate(batch):
             # Per-keypoint bookkeeping comes back in the one packed pull;
@@ -168,23 +216,51 @@ def prefetch_features(
             f.dev_features = (kp_norm[i], desc[i], valid[i], level[i])
             yield f
 
-    in_flight = None
-    pending: list[VideoFrame] = []
-    for frame in frames:
-        pending.append(frame)
-        if len(pending) == batch_size:
+    def pipeline() -> Iterator[VideoFrame]:
+        in_flight = None
+        pending: list[VideoFrame] = []
+        for frame in frames:
+            pending.append(frame)
+            if len(pending) == batch_size:
+                launched = launch(pending)
+                pending = []
+                if in_flight is not None:
+                    yield from finish(in_flight)
+                in_flight = launched
+        if pending:
             launched = launch(pending)
-            pending = []
             if in_flight is not None:
                 yield from finish(in_flight)
             in_flight = launched
-    if pending:
-        launched = launch(pending)
         if in_flight is not None:
             yield from finish(in_flight)
-        in_flight = launched
-    if in_flight is not None:
-        yield from finish(in_flight)
+
+    if os.environ.get("PGTPU_PREFETCH_THREAD", "1") == "0":
+        # Debug/fallback knob: run the launch/finish pipeline inline in the
+        # consumer thread (still one batch ahead, just no cross-thread
+        # overlap of uploads with tracking).
+        yield from pipeline()
+        return
+
+    out: queue.Queue = queue.Queue(maxsize=3 * batch_size)
+    done = object()
+
+    def run():
+        try:
+            for f in pipeline():
+                out.put(f)
+            out.put(done)
+        except BaseException as exc:  # surface in the consumer thread
+            out.put(exc)
+
+    threading.Thread(target=run, daemon=True, name="orb-prefetch").start()
+    while True:
+        item = out.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def video_frames(
@@ -518,9 +594,12 @@ def track_video_segments(
                 and chunk_size > 0
                 and buf[0].features is not None
             ):
-                # Steady state: one device round trip tracks a whole chunk
-                # (process_chunk stops early at keyframes/failures and the
-                # unconsumed tail stays in ``buf`` for the next call).
+                # Steady state: one device round trip tracks a whole chunk,
+                # including across mid-chunk keyframe insertions (the
+                # reference's Tracking-vs-LocalMapping lag). The chunk stops
+                # early only at tracking failures and at frames that must
+                # become keyframes from fresh-map results; the unconsumed
+                # tail stays in ``buf`` for the next call.
                 results = tracker.process_chunk(buf[:chunk_size])
                 done = buf[: len(results)]
                 del buf[: len(results)]

@@ -704,6 +704,15 @@ class TrackerConfig:
     # the gap-triggered keyframe lands on the last chunk frame (zero
     # rewind in steady state). 0 disables chunking.
     track_chunk_frames: int = 8
+    # Consume the WHOLE chunk even when a keyframe lands mid-chunk: frames
+    # after the insertion keep their device results, i.e. they tracked
+    # against the pre-keyframe map. This is the reference's real execution
+    # model — Tracking never waits for LocalMapping, so frames following a
+    # keyframe run against the not-yet-updated map (LocalMapping.cc
+    # integrates the keyframe concurrently) — and it halves the device
+    # round trips per keyframe cycle. False reverts to rewind-at-keyframe
+    # (exact per-frame-path equivalence, used by the parity test).
+    chunk_through_keyframes: bool = True
     local_window: int = 6  # keyframes in local BA
     min_init_matches: int = 60
     min_init_inliers: int = 40
@@ -716,6 +725,13 @@ class TrackerConfig:
     match_search_radius: Optional[float] = None
     min_parallax_cos: float = 0.9999
     ba_every_keyframe: bool = True
+    # Run the per-keyframe local BA asynchronously (the reference's
+    # LocalMapping-thread model): dispatch at the keyframe, finish the
+    # keyframe's host work while it runs, fold the landed result in at the
+    # next track dispatch (or closure attempt / finalize). Removes the BA
+    # round trip from the tracking critical path; False restores the
+    # synchronous apply-at-insertion behavior.
+    ba_async: bool = True
     # --- map maintenance (LocalMapping parity) ---
     cull_found_ratio: float = 0.25  # MapPointCulling GetFoundRatio threshold
     cull_min_observations: int = 2  # monocular cnThObs (LocalMapping.cc:177)
@@ -857,6 +873,9 @@ class MonocularTracker:
         self._rng = jax.random.PRNGKey(0)
         self._next_kf_id = 0
         self._last_loop_kf_id = -(10**9)  # kf_id of the last accepted loop
+        # In-flight deferred local BA: (device result, window keyframes,
+        # arena pids of its points). See _windowed_bundle_adjust(deferred=).
+        self._pending_ba = None
         self._last_loop_cand_kf_id = -1  # loop candidate's stable kf_id
         # Local-map mask: points observed by the recent keyframe window.
         # Per-frame tracking matches ONLY these (Tracking::TrackLocalMap
@@ -1157,6 +1176,7 @@ class MonocularTracker:
         """Absolute per-frame poses reconstructed from the CURRENT keyframe
         poses (BA/loop corrections included) — System::GetTrajectory
         semantics (System.cc:371-413)."""
+        self._apply_pending_ba()  # idempotent; landed long ago
         by_id = {kf.kf_id: kf for kf in self.keyframes}
         out = []
         for fp in self.trajectory:
@@ -1422,14 +1442,21 @@ class MonocularTracker:
         ``.frame_id`` / ``.time_usec``. Only valid in the OK state.
 
         Returns [(state, tracked_kp_rows)] for the frames actually CONSUMED;
-        the caller re-feeds the rest. The chunk stops early at a keyframe
-        insertion (the map changed, so later chunk frames must re-track
-        against it — at most chunk-1 frames of device compute are discarded,
-        zero in steady state since the gap rule fires on the last chunk
-        frame) or at a tracking failure (the event frame re-runs through the
-        full per-frame fallback path: ref-KF track, then relocalization).
+        the caller re-feeds the rest. The chunk stops early at a tracking
+        failure (the event frame re-runs through the full per-frame fallback
+        path: ref-KF track, then relocalization). A mid-chunk KEYFRAME stops
+        the chunk only when ``config.chunk_through_keyframes`` is False; the
+        default keeps consuming — later frames tracked against the
+        pre-keyframe map, the reference's Tracking-vs-LocalMapping lag —
+        so a keyframe cycle costs one chunk round trip, not two.
         """
         assert self.state == OK, "process_chunk requires an initialized tracker"
+        # Fold in the previous keyframe's deferred BA before building the
+        # device map: by now its transfer has landed (the keyframe's own
+        # loop-detect pull ran in between), so tracking — like the
+        # reference's, once LocalMapping finishes — runs on refined
+        # geometry without a blocking round trip.
+        self._apply_pending_ba()
         c = min(len(frames), self.config.track_chunk_frames)
         use = frames[:c]
         pad = self.config.track_chunk_frames - c
@@ -1473,15 +1500,63 @@ class MonocularTracker:
         results: List[tuple] = []
         m = self.config.max_map_points
         rows_sel = sel[:n]
+        # Chunk->host pose transplant state: device poses live in the
+        # coordinate frame the chunk was DISPATCHED in. A mid-chunk keyframe
+        # insertion may refine host poses (sync local BA), so subsequent
+        # device poses are re-expressed relative to the anchor keyframe:
+        # host_pose = (device_pose ∘ device_anchor⁻¹) ∘ refined_anchor —
+        # exactly GetTrajectory's relative-pose transplant (System.cc:
+        # 371-413). Until the first insertion the transplant is skipped so
+        # the common case stays bitwise identical to the rewind path.
+        anchor_kf = self.keyframes[-1]
+        anchor_dev_pose = anchor_kf.pose6.copy()
+        transplant = False
         for i, f in enumerate(use):
             row = packs[i]
             num_inliers = int(row[6])
+            dev_pose6 = row[:6].astype(np.float64)
+            pose6 = dev_pose6
+            if transplant:
+                # A through-frame that would TRIGGER the keyframe policy
+                # must not be consumed from stale-map results: a keyframe
+                # built from stale matches triangulates bad geometry and
+                # cascades (stale inliers are depressed, so the ratio rule
+                # would fire keyframe-after-keyframe). Stop here; the
+                # caller re-feeds this frame, which then re-tracks against
+                # the updated map and becomes a clean keyframe. Ordinary
+                # through-frames (the common case) keep their results —
+                # that is the reference's Tracking-vs-LocalMapping lag.
+                ref_inl = self.keyframes[-1].num_inliers or num_inliers
+                would_trigger = (
+                    num_inliers
+                    < self.config.keyframe_inlier_ratio * ref_inl
+                    or self._frames_since_keyframe + 1
+                    >= self.config.keyframe_max_gap
+                )
+                if would_trigger:
+                    return results
+                pose6 = self._compose(
+                    self._pose_delta(anchor_dev_pose, dev_pose6),
+                    anchor_kf.pose6,
+                )
+            match_idx = np.full(m, -1, np.int32)
+            match_idx[rows_sel] = row[7 : 7 + n].astype(np.int32)
+            inliers = np.zeros(m, bool)
+            inliers[rows_sel] = row[7 + b : 7 + b + n] > 0.5
+            in_view = np.zeros(m, bool)
+            in_view[rows_sel] = row[7 + 2 * b : 7 + 2 * b + n] > 0.5
             if num_inliers < self.config.min_track_inliers:
                 # Motion-model tracking failed on this frame: the chunk
                 # carry froze here, so re-run it through the full
-                # single-frame path (same predicted pose — the map and
-                # motion model are exactly as the chunk saw them) to get
-                # the ref-KF / relocalization fallbacks.
+                # single-frame path (fresh motion attempt, then the ref-KF
+                # / relocalization fallbacks). The re-attempt is NOT
+                # redundant: the host-side prediction (f64 motion compose,
+                # current map mirror) differs slightly from the device
+                # carry's, and borderline frames routinely clear the
+                # inlier bar on the retry — measured on a synthetic 720p
+                # ride, reusing the chunk's failed attempt instead of
+                # re-running it turned ~1 recoverable dip per 14 frames
+                # into a LOST cascade.
                 kp_norm, desc, valid, level, angle = f.features
                 state = self.process_features(
                     kp_norm, desc, valid, f.frame_id, f.time_usec,
@@ -1489,13 +1564,6 @@ class MonocularTracker:
                 )
                 results.append((state, self.last_track_kp_rows))
                 return results
-            pose6 = row[:6].astype(np.float64)
-            match_idx = np.full(m, -1, np.int32)
-            match_idx[rows_sel] = row[7 : 7 + n].astype(np.int32)
-            inliers = np.zeros(m, bool)
-            inliers[rows_sel] = row[7 + b : 7 + b + n] > 0.5
-            in_view = np.zeros(m, bool)
-            in_view[rows_sel] = row[7 + 2 * b : 7 + 2 * b + n] > 0.5
             next_id = self._next_kf_id
             self._commit_tracked_frame(
                 _FrameFeatures(*f.features), f.frame_id, f.time_usec,
@@ -1503,10 +1571,21 @@ class MonocularTracker:
             )
             results.append((OK, self.last_track_kp_rows))
             if self._next_kf_id != next_id:
-                return results  # keyframe inserted -> map changed
+                if not self.config.chunk_through_keyframes:
+                    return results  # keyframe inserted -> map changed
+                # Keep consuming: later chunk frames tracked against the
+                # pre-keyframe map (the reference's LocalMapping lag). Their
+                # stale-map stats are validity-filtered in the commit; their
+                # poses transplant onto the (possibly BA-refined) new anchor.
+                anchor_kf = self.keyframes[-1]
+                anchor_dev_pose = dev_pose6
+                transplant = True
         return results
 
     def _track(self, frame: _FrameFeatures, frame_id, time_usec):
+        # Per-frame path: fold in any landed deferred BA before tracking
+        # (see process_chunk).
+        self._apply_pending_ba()
         predicted = self._compose(self._motion, self._pose)
         new_pose, num_inliers, match_idx, inliers, in_front = (
             self._track_attempt(predicted, frame)
@@ -1596,6 +1675,13 @@ class MonocularTracker:
         """Accept one successfully tracked frame: per-point statistics,
         motion-model/pose update, trajectory append, and the keyframe
         policy + insertion (shared by the per-frame and chunked paths)."""
+        # On the chunk-through-keyframes path a frame's match masks may
+        # reference arena slots culled (or recycled) by a mid-chunk keyframe
+        # insertion; filter them so stale slots never gain stats or keyframe
+        # observations. No-op on the per-frame path (masks were computed
+        # against the live map).
+        inliers = inliers & self.point_valid
+        in_front = in_front & self.point_valid
         # Per-point tracking statistics (MapPoint::IncreaseVisible/Found):
         # visible = the point was searched in this frame's frustum, found =
         # it survived pose optimization as an inlier.
@@ -1617,6 +1703,10 @@ class MonocularTracker:
             or self._frames_since_keyframe >= self.config.keyframe_max_gap
         )
         if need_keyframe:
+            # Fold in the PREVIOUS keyframe's deferred BA before any new
+            # geometry references the map (triangulation uses prev keyframe
+            # poses; fuse projects the points this refines).
+            self._apply_pending_ba()
             kp_map = np.full(frame.kp_norm.shape[0], -1, np.int32)
             matched_points = np.nonzero(inliers)[0]
             kp_map[match_idx[matched_points]] = matched_points
@@ -1918,9 +2008,11 @@ class MonocularTracker:
         self._windowed_bundle_adjust(
             self.keyframes[-self.config.local_window :],
             pad_poses_to=self.config.local_window,
+            deferred=self.config.ba_async,
         )
 
-    def _windowed_bundle_adjust(self, window, pad_poses_to=None):
+    def _windowed_bundle_adjust(self, window, pad_poses_to=None,
+                                deferred=False):
         inv_scale = 1.0 / self.config.scale
         ki_parts, pid_parts, uv_parts, invs_parts = [], [], [], []
         for ki, kf in enumerate(window):
@@ -2003,6 +2095,16 @@ class MonocularTracker:
         for out in (result.poses6, result.points):
             if hasattr(out, "copy_to_host_async"):
                 out.copy_to_host_async()
+        if deferred:
+            # LocalMapping-style asynchrony (the reference optimizes in its
+            # own thread while Tracking finishes the frame, LocalMapping.cc
+            # Run): park the in-flight result. It applies at the next track
+            # dispatch / closure attempt / finalize — by which time the
+            # async copies have landed behind the keyframe's remaining host
+            # work (loop-vote pull, bookkeeping), so the apply costs no
+            # blocking round trip.
+            self._pending_ba = (result, list(window), pids)
+            return
         new_poses = np.asarray(result.poses6)
         for ki, kf in enumerate(window):
             kf.pose6 = new_poses[ki]
@@ -2014,6 +2116,31 @@ class MonocularTracker:
             if kf is self.keyframes[-1]:
                 self._pose = new_poses[ki].copy()
                 break
+
+    def _apply_pending_ba(self):
+        """Fold a deferred local-BA result into the map. By now the async
+        host copies have typically landed (the keyframe's loop-vote pull
+        and host bookkeeping ran in between), so this usually costs
+        microseconds, not a full round trip. Keyframe poses update by
+        object identity (safe across keyframe culling — a culled keyframe
+        object is simply no longer referenced); refined points culled or
+        fused away in the interim are dropped (slots cannot be REUSED in
+        between: recycling only happens inside _create_new_points, which
+        always runs after this applies)."""
+        if self._pending_ba is None:
+            return
+        result, window, pids = self._pending_ba
+        self._pending_ba = None
+        new_poses = np.asarray(result.poses6)
+        for ki, kf in enumerate(window):
+            kf.pose6 = new_poses[ki]
+        live = self.point_valid[pids]
+        self.points[pids[live]] = np.asarray(result.points)[: len(pids)][live]
+        # The tracker's live pose is NOT rewritten: it has moved on since
+        # dispatch. Per-frame outputs stay consistent through the
+        # keyframe-relative trajectory (final_trajectory composes rel6 onto
+        # the refined keyframe poses, System.cc:371-413 semantics).
+        self._invalidate_device_map()
 
     # ---------------------------------------------------------- loop closing
     def _loop_preconditions(self, kf: Keyframe) -> bool:
@@ -2042,6 +2169,10 @@ class MonocularTracker:
             return
         cand_idx = loopclosing.detect_and_close(self, kf, vote_handle)
         if cand_idx is not None:
+            # A deferred local BA dispatched this keyframe was computed from
+            # pre-closure geometry; the closure's own seam/global BA
+            # supersedes it. Applying it later would fight the correction.
+            self._pending_ba = None
             self._last_loop_kf_id = kf.kf_id
             self._last_loop_cand_kf_id = self.keyframes[cand_idx].kf_id
             self.stats["loop_closures"] += 1
@@ -2082,6 +2213,7 @@ class MonocularTracker:
         the revisit overlap is maximal."""
         from pilotguru_tpu.vo import loopclosing
 
+        self._apply_pending_ba()
         if not self.config.enable_loop_closing or len(self.keyframes) < 4:
             return
         kf = self.keyframes[-1]

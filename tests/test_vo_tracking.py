@@ -226,16 +226,21 @@ class TestChunkedTracking:
         return frames
 
     @staticmethod
-    def _make_tracker():
+    def _make_tracker(**overrides):
         camera = CameraModel(fx=1.0, fy=1.0, cx=0.0, cy=0.0)
-        config = TrackerConfig(
+        # Exact per-frame equivalence requires rewinding at keyframes; the
+        # through-keyframes default is characterized separately in
+        # test_chunk_through_keyframes_tracks_whole_ride.
+        kwargs = dict(
             total_budget=256, min_init_matches=40, min_init_inliers=30,
             min_track_inliers=15, match_search_radius=0.1,
+            chunk_through_keyframes=False,
         )
-        return MonocularTracker(camera, config)
+        kwargs.update(overrides)
+        return MonocularTracker(camera, TrackerConfig(**kwargs))
 
-    def _run(self, frames, chunked):
-        tracker = self._make_tracker()
+    def _run(self, frames, chunked, **overrides):
+        tracker = self._make_tracker(**overrides)
         states = []
         if chunked:
             buf = list(frames)
@@ -287,6 +292,35 @@ class TestChunkedTracking:
             # integer matching + thresholded optimization, so poses agree
             # to float32 packing noise.
             np.testing.assert_allclose(a.pose6, b.pose6, atol=1e-4)
+
+    def test_chunk_through_keyframes_tracks_whole_ride(self):
+        """The production mode (chunk_through_keyframes=True) consumes whole
+        chunks across keyframe insertions — frames after a mid-chunk
+        keyframe keep device results tracked against the pre-keyframe map
+        (the reference's Tracking-vs-LocalMapping lag). The ride must stay
+        tracked end to end with poses close to the strict path's."""
+        times = np.arange(0, 10.0, 0.25)
+        strict_tracker, strict_states = self._run(
+            self._make_frames(SyntheticScene(seed=11), times), chunked=True
+        )
+        thru_tracker, thru_states = self._run(
+            self._make_frames(SyntheticScene(seed=11), times),
+            chunked=True, chunk_through_keyframes=True,
+        )
+        assert "LOST" not in thru_states
+        assert len(thru_states) == len(strict_states)
+        assert len(thru_tracker.keyframes) >= 3
+        strict_traj = {
+            fp.frame_id: fp.pose6 for fp in strict_tracker.final_trajectory()
+        }
+        drift = [
+            float(np.linalg.norm(fp.pose6 - strict_traj[fp.frame_id]))
+            for fp in thru_tracker.final_trajectory()
+            if fp.frame_id in strict_traj
+        ]
+        # Stale-map tracking may move individual poses slightly, but the
+        # trajectory must remain the same ride (monocular scale ~1 here).
+        assert np.median(drift) < 0.05, f"median pose drift {np.median(drift)}"
 
     def test_chunk_stops_at_tracking_failure(self):
         """A mid-chunk feature blackout must surface LOST through the
