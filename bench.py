@@ -695,6 +695,72 @@ def bench_training():
     }
 
 
+def _previous_round_metrics():
+    """Load the newest BENCH_r*.json recorded by the driver and parse its
+    metric lines, so the current run can flag per-metric regressions
+    (VERDICT r4 item 5: the fit_motion 501->362 drift went unexplained for
+    a round because nothing compared against the prior record)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, path = -1, None
+    for candidate in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", candidate)
+        if m and int(m.group(1)) > best_round:
+            best_round, path = int(m.group(1)), candidate
+    if path is None:
+        return {}, -1
+    try:
+        with open(path) as f:
+            record = json.load(f)
+        metrics = {}
+        for line in record.get("tail", "").splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                entry = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in entry and "value" in entry:
+                metrics[entry["metric"]] = float(entry["value"])
+        return metrics, best_round
+    except Exception:
+        return {}, -1
+
+
+# Metrics where LOWER is better (regression = value rose >15%).
+_LOWER_IS_BETTER = {"fit_motion_velocity_rmse_m_s"}
+
+
+def flag_regressions(lines):
+    """Annotate each metric line with a ``regression`` field when it moved
+    >15% the wrong way vs the previous round's recorded value."""
+    previous, prev_round = _previous_round_metrics()
+    if not previous:
+        return
+    for line in lines:
+        prev = previous.get(line["metric"])
+        if prev is None or prev == 0:
+            continue
+        value = float(line["value"])
+        if line["metric"] in _LOWER_IS_BETTER:
+            regressed = value > prev * 1.15
+        else:
+            regressed = value < prev * 0.85
+        if regressed:
+            line["regression"] = (
+                f"{prev} (r{prev_round:02d}) -> {value}"
+            )
+            print(
+                f"# REGRESSION {line['metric']}: {prev} (r{prev_round:02d}) "
+                f"-> {value} (>15% worse)",
+                file=sys.stderr,
+                flush=True,
+            )
+
+
 def main():
     lines = []
     failures = []
@@ -725,6 +791,7 @@ def main():
     for failure in failures:
         print(f"# bench skipped — {failure}", file=sys.stderr)
     lines.append(headline)  # headline LAST for single-line parsers
+    flag_regressions(lines)
     for line in lines:
         print(json.dumps(line))
 

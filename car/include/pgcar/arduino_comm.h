@@ -27,9 +27,19 @@ class OpenedTty {
   int fd_ = -1;
 };
 
+// Handshake pacing. Defaults mirror the reference (arduino_comm.cc:79-114):
+// 2 s boot settle after open, 200 ms drain pause between the two RESETs.
+// Tests drive a fake TTY (openpty) where no board is booting, so they dial
+// these down instead of paying real seconds per case.
+struct ArduinoTimings {
+  int settle_usec = 2 * 1000 * 1000;
+  int drain_usec = 200 * 1000;
+};
+
 class ArduinoCommandChannel : public kia::CommandSink {
  public:
-  explicit ArduinoCommandChannel(const std::string &tty_name);
+  explicit ArduinoCommandChannel(const std::string &tty_name,
+                                 ArduinoTimings timings = {});
 
   bool ok() const { return handshake_ok_; }
 
@@ -41,6 +51,7 @@ class ArduinoCommandChannel : public kia::CommandSink {
  private:
   bool Handshake();
 
+  ArduinoTimings timings_;
   OpenedTty tty_;
   std::mutex send_mutex_;
   bool handshake_ok_ = false;

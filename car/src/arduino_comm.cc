@@ -39,14 +39,15 @@ OpenedTty::~OpenedTty() {
   if (fd_ >= 0) close(fd_);
 }
 
-ArduinoCommandChannel::ArduinoCommandChannel(const std::string &tty_name)
-    : tty_(tty_name) {
+ArduinoCommandChannel::ArduinoCommandChannel(const std::string &tty_name,
+                                             ArduinoTimings timings)
+    : timings_(timings), tty_(tty_name) {
   if (tty_.ok()) handshake_ok_ = Handshake();
 }
 
 bool ArduinoCommandChannel::Handshake() {
   // Give a freshly-reset board time to boot.
-  usleep(2 * 1000 * 1000);
+  usleep(timings_.settle_usec);
 
   char reset_text[4];
   kia::KiaControlCommand reset{};
@@ -57,7 +58,7 @@ bool ArduinoCommandChannel::Handshake() {
   if (write(tty_.fd(), reset_text, std::strlen(reset_text)) < 0) return false;
   const char end = kia::KiaControlCommandProcessor::kCommandEnd;
   if (write(tty_.fd(), &end, 1) != 1) return false;
-  usleep(200 * 1000);
+  usleep(timings_.drain_usec);
   tcflush(tty_.fd(), TCIFLUSH);
 
   // Second RESET must be acknowledged with the terminator byte.

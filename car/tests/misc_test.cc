@@ -11,6 +11,7 @@
 #include "pgcar/nn_comm.h"
 #include "pgcar/testing.h"
 #include "pgcar/timestamped_history.h"
+#include "pgcar/torque_ramp.h"
 #include "pgcar/voltage_smoothing.h"
 
 using pgcar::CanFrame;
@@ -169,6 +170,101 @@ TEST(JsonLogger, WritesValidIncrementalJson) {
   // Valid JSON framing: closes the array and the object.
   EXPECT_TRUE(text.find("]\n}") != std::string::npos);
   std::remove(path);
+}
+
+TEST(TorqueRamp, StaircasesToTargetHoldsThenDecays) {
+  pgcar::kia::SteeringSpoofSettings settings;
+  settings.max_steering_magnitude = 3;
+  settings.steps_per_adjustment_level = 2;
+  settings.steps_at_target_level = 4;
+  settings.voltage_update_hysteresis = 1;
+  pgcar::kia::TorqueRamp ramp(settings, 8, 8);
+  ramp.update_measurements({100, 100});
+
+  ramp.set_target_offset(3);
+  // One LSB per 2 steps: 0 -> 1 -> 2 -> 3 over 6 steps.
+  int16_t trace[16];
+  for (int i = 0; i < 16; ++i) {
+    ramp.step();
+    trace[i] = ramp.current_offset();
+  }
+  EXPECT_EQ(trace[1], 1);
+  EXPECT_EQ(trace[3], 2);
+  EXPECT_EQ(trace[5], 3);
+  // Holds at 3 for steps_at_target_level + steps_per_adjustment_level
+  // cycles, then auto-decays toward 0.
+  EXPECT_EQ(trace[10], 3);
+  EXPECT_EQ(trace[12], 2);
+  EXPECT_EQ(ramp.target_offset() <= 3, true);
+
+  // Differential outputs while the offset is nonzero: green +, blue -.
+  pgcar::kia::TorqueRamp fresh(settings, 8, 8);
+  fresh.update_measurements({100, 100});
+  fresh.set_target_offset(2);
+  for (int i = 0; i < 4; ++i) fresh.step();
+  EXPECT_EQ(fresh.current_offset(), 2);
+  EXPECT_EQ(fresh.out_green_dac(), 102);
+  EXPECT_EQ(fresh.out_blue_dac(), 98);
+}
+
+TEST(TorqueRamp, ClampsAndConvertsResolution) {
+  pgcar::kia::SteeringSpoofSettings settings;
+  settings.max_steering_magnitude = 5;
+  settings.steps_per_adjustment_level = 1;
+  settings.steps_at_target_level = 100;
+  pgcar::kia::TorqueRamp ramp(settings, /*adc_bits=*/10, /*dac_bits=*/12);
+  // 10-bit ADC 512 -> 12-bit DAC 2048 passthrough.
+  ramp.update_measurements({512, 512});
+  EXPECT_EQ(ramp.out_green_dac(), 2048);
+  // Commanded offset beyond the envelope clamps to +/-5.
+  ramp.set_target_offset(1000);
+  EXPECT_EQ(ramp.target_offset(), 5);
+  ramp.set_target_offset(-1000);
+  EXPECT_EQ(ramp.target_offset(), -5);
+}
+
+TEST(TorqueRamp, FixedTorqueCharCommands) {
+  pgcar::kia::SteeringSpoofSettings settings;
+  settings.max_steering_magnitude = 5;
+  settings.steps_per_adjustment_level = 1;
+  settings.steps_at_target_level = 400;
+  pgcar::kia::TorqueRamp ramp(settings, 8, 8);
+  // 'l' -> full left magnitude, 'r' -> full right, junk ignored
+  // (reference steering-fixed-torque.ino: latest-wins single chars).
+  EXPECT_TRUE(pgcar::kia::ApplyFixedTorqueChar('l', &ramp, settings));
+  EXPECT_EQ(ramp.target_offset(), 5);
+  EXPECT_TRUE(pgcar::kia::ApplyFixedTorqueChar('r', &ramp, settings));
+  EXPECT_EQ(ramp.target_offset(), -5);
+  EXPECT_FALSE(pgcar::kia::ApplyFixedTorqueChar('x', &ramp, settings));
+  EXPECT_EQ(ramp.target_offset(), -5);
+}
+
+TEST(TorqueRamp, FlexTorqueCommandProtocol) {
+  pgcar::kia::SteeringSpoofSettings settings;
+  settings.max_steering_magnitude = 300;
+  settings.steps_per_adjustment_level = 2;
+  settings.steps_at_target_level = 300;
+  pgcar::kia::TorqueRamp ramp(settings, 10, 12);
+  bool echo = false;
+
+  pgcar::kia::KiaControlCommand cmd;
+  cmd.type = pgcar::kia::KiaControlCommand::STEER;
+  cmd.value = -120;
+  EXPECT_TRUE(pgcar::kia::ApplyFlexTorqueCommand(cmd, &ramp, &echo));
+  EXPECT_EQ(ramp.target_offset(), -120);
+
+  cmd.type = pgcar::kia::KiaControlCommand::ECHO_COMMAND;
+  cmd.value = 1;
+  EXPECT_TRUE(pgcar::kia::ApplyFlexTorqueCommand(cmd, &ramp, &echo));
+  EXPECT_TRUE(echo);
+
+  cmd.type = pgcar::kia::KiaControlCommand::RESET;
+  EXPECT_TRUE(pgcar::kia::ApplyFlexTorqueCommand(cmd, &ramp, &echo));
+  EXPECT_EQ(ramp.target_offset(), 0);
+  EXPECT_FALSE(echo);
+
+  cmd.type = 'z';
+  EXPECT_FALSE(pgcar::kia::ApplyFlexTorqueCommand(cmd, &ramp, &echo));
 }
 
 PGTEST_MAIN()
