@@ -2,8 +2,9 @@
 
 Flag-compatible with the reference binary
 (/root/reference/src/optical_trajectories.cc:36-62). Differences:
---vocabulary_file is accepted and ignored (DBoW2 vocabulary indexing is
-replaced by exhaustive MXU descriptor matching); --visualize writes an
+--vocabulary_file is parsed and validated but its index is unused (DBoW2
+vocabulary indexing is replaced by exhaustive MXU descriptor matching, and
+the substitution is logged); --visualize writes an
 offline overlay video per segment (tracked features + status) instead of
 the reference's live Pangolin windows (headless image).
 """
@@ -18,7 +19,14 @@ from pilotguru_tpu.cli._common import add_dtype_flag, make_parser, setup_backend
 def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument(
-        "--vocabulary_file", default="", help="Accepted for compatibility; unused."
+        "--vocabulary_file",
+        default="",
+        help=(
+            "DBoW2 ORB vocabulary (ORBvoc.txt). Parsed and VALIDATED for "
+            "compatibility with the reference CLI; its index is replaced "
+            "by exhaustive MXU Hamming matching, so the content is unused "
+            "(vo/vocabulary.py)."
+        ),
     )
     parser.add_argument("--camera_settings", required=True)
     parser.add_argument("--in_video", required=True)
@@ -65,6 +73,23 @@ def main(argv=None):
     add_dtype_flag(parser)
     args = parser.parse_args(argv)
     setup_backend(args.dtype)
+
+    if args.vocabulary_file:
+        # Honor the reference flag's contract: a given vocabulary must load
+        # (bad paths/files fail, System.cc "Wrong path to vocabulary"), but
+        # its index is replaced by exhaustive MXU matching — say so loudly
+        # rather than silently voiding the flag.
+        from pilotguru_tpu.vo.vocabulary import validate_dbow2_vocabulary
+
+        info = validate_dbow2_vocabulary(args.vocabulary_file, max_nodes=512)
+        print(
+            f"vocabulary {args.vocabulary_file}: valid DBoW2 "
+            f"(k={info.branching_factor}, L={info.depth_levels}, "
+            f"{info.num_nodes} nodes). NOTE: the index is NOT used — loop "
+            "detection/relocalization run exhaustive MXU Hamming matching "
+            "instead (design cut, see pilotguru_tpu/vo/vocabulary.py).",
+            file=sys.stderr,
+        )
 
     from pilotguru_tpu.vo.camera import read_camera_settings
     from pilotguru_tpu.vo.pipeline import track_video_segments, video_frames
