@@ -107,7 +107,23 @@ def _select_per_net(mask, new_tree, old_tree):
 
 
 def make_train_step(model, tx, settings: TrainSettings):
-    """Build the jitted ensemble train step."""
+    """Build the jitted ensemble train step.
+
+    When the model supports it (folded.foldable: the PilotNet trunk), the
+    ensemble forward/backward runs as ONE folded program — the ensemble
+    axis concatenated into conv channels (grouped convs) and batched FC
+    matmuls — instead of a vmap of per-net programs, filling the MXU's 128
+    lanes that per-net channel counts (24-64) leave mostly padded
+    (PARITY.md §training-roofline). Per-net math is exact; set
+    PGTPU_FOLDED_ENSEMBLE=0 to force the vmapped path.
+    """
+    import os
+
+    from pilotguru_tpu.ml import folded as folded_lib
+
+    use_folded = folded_lib.foldable(model) and os.environ.get(
+        "PGTPU_FOLDED_ENSEMBLE", "1"
+    ) != "0"
 
     def step(state: EnsembleState, inputs, labels, weights, use_mask, rng):
         """inputs: dict of [B, ...]; labels [B, L]; weights [N, B];
@@ -150,14 +166,50 @@ def make_train_step(model, tx, settings: TrainSettings):
             new_params = optax.apply_updates(params, updates)
             return new_params, new_stats, new_opt, loss, per_example
 
-        new_params, new_stats, new_opt, losses, per_example = jax.vmap(per_net)(
-            state.params,
-            state.batch_stats,
-            state.opt_state,
-            weights,
-            state.lr_scale,
-            dropout_keys,
-        )
+        if use_folded:
+            num_nets = weights.shape[0]
+
+            def folded_loss(stacked_params):
+                out, new_stats = folded_lib.folded_forward(
+                    model, stacked_params, state.batch_stats, net_inputs,
+                    train=True, dropout_key=dropout_keys[0],
+                )  # out: [N, B, L]
+                per_example = jax.vmap(
+                    lambda o: power_loss(o, labels, settings.loss_norm_pow)
+                )(out)  # [N, B]
+                per_net_loss = jnp.mean(per_example * weights, axis=1)  # [N]
+                # Per-net params are independent, so the gradient of the SUM
+                # equals each net's own gradient (identical to the vmapped
+                # per-net value_and_grad).
+                return jnp.sum(per_net_loss), (
+                    per_net_loss, per_example, new_stats,
+                )
+
+            (_, (losses, per_example, new_stats)), grads = jax.value_and_grad(
+                folded_loss, has_aux=True
+            )(state.params)
+            updates, new_opt = jax.vmap(tx.update)(
+                grads, state.opt_state, state.params
+            )
+            scale = state.lr_scale.reshape(
+                (num_nets,)
+            )
+            updates = jax.tree_util.tree_map(
+                lambda u: u * scale.reshape((num_nets,) + (1,) * (u.ndim - 1)),
+                updates,
+            )
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            new_params, new_stats, new_opt, losses, per_example = jax.vmap(
+                per_net
+            )(
+                state.params,
+                state.batch_stats,
+                state.opt_state,
+                weights,
+                state.lr_scale,
+                dropout_keys,
+            )
         new_state = EnsembleState(
             _select_per_net(use_mask, new_params, state.params),
             _select_per_net(use_mask, new_stats, state.batch_stats),
