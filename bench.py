@@ -448,17 +448,45 @@ def bench_vo():
     kangle = kps.angle[0]
     kun = kv  # "unmatched" masks — same shape, cost identical
     delta = jnp.asarray(np.array([0, 0.01, 0, 0, 0, 0.1], np.float32))
-    # Local BA at the tracker's bucket shapes: 6-keyframe window,
-    # ~1.2k points (256-multiple bucket), 2k observations (1024-multiple).
+    # Local BA at the tracker's bucket shapes (6-keyframe window, ~1.2k
+    # points / 256-bucket, 2k observations / 1024-bucket) on a CONSISTENT
+    # warm-started
+    # geometry (projected points + pixel noise, poses/points perturbed at
+    # the level the previous window's solution leaves them) — that is what
+    # keyframe-cadence BA actually solves; a random-soup problem never
+    # converges and would overstate the LM iteration count (the solver
+    # carries the reference's 5+10 budget with g2o-style early exit).
     num_k, num_m, num_o = 6, 1280, 2048
+    ba_pts = np.stack(
+        [rng.uniform(-2, 2, num_m), rng.uniform(-1.5, 1.5, num_m),
+         rng.uniform(4, 12, num_m)], axis=1,
+    ).astype(np.float32)
+    ba_poses = np.zeros((num_k, 6), np.float32)
+    ba_poses[:, 5] = np.arange(num_k) * 0.1
+    ba_poses[:, 1] = np.arange(num_k) * 0.01
+    ba_op = rng.integers(0, num_k, size=num_o).astype(np.int32)
+    ba_ol = rng.integers(0, num_m, size=num_o).astype(np.int32)
+    from pilotguru_tpu.vo.pose import rotvec_to_matrix as _r2m
+
+    ba_rs = np.asarray(jax.vmap(_r2m)(jnp.asarray(ba_poses[:, :3])))
+    ba_cam = (
+        np.einsum("oij,oj->oi", ba_rs[ba_op], ba_pts[ba_ol])
+        + ba_poses[ba_op, 3:]
+    )
+    ba_uv = (
+        ba_cam[:, :2] / ba_cam[:, 2:3]
+        + rng.normal(scale=0.002, size=(num_o, 2))
+    ).astype(np.float32)
     problem = BAProblem(
-        jnp.asarray(rng.normal(scale=0.01, size=(num_k, 6)).astype(np.float32)),
         jnp.asarray(
-            (rng.normal(size=(num_m, 3)) + [0, 0, 5]).astype(np.float32)
-        ),
-        jnp.asarray(rng.integers(0, num_k, size=num_o).astype(np.int32)),
-        jnp.asarray(rng.integers(0, num_m, size=num_o).astype(np.int32)),
-        jnp.asarray(rng.normal(scale=0.2, size=(num_o, 2)).astype(np.float32)),
+            ba_poses + rng.normal(scale=1e-3, size=ba_poses.shape)
+        ).astype(jnp.float32),
+        jnp.asarray(
+            ba_pts + rng.normal(scale=5e-3, size=ba_pts.shape)
+        ).astype(jnp.float32),
+        jnp.asarray(ba_op),
+        jnp.asarray(ba_ol),
+        jnp.asarray(ba_uv),
         jnp.asarray(np.ones(num_o, bool)),
         jnp.asarray(np.ones(num_m, bool)),
         jnp.asarray(np.ones(num_o, np.float32)),

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
-from pilotguru_tpu.vo.pose import huber_weights, project, rotvec_to_matrix
+from pilotguru_tpu.vo.pose import (
+    huber_weights,
+    inv3x3,
+    project,
+    rotvec_to_matrix,
+)
 
 
 class BAProblem(NamedTuple):
@@ -87,30 +92,7 @@ def _residuals(flat, problem: BAProblem, weights, gauge_anchor, anchor_dist):
     return jnp.concatenate([res.ravel(), pose0_prior, scale_prior[None]])
 
 
-def _inv3x3(mats):
-    """Batched closed-form 3x3 inverse via the adjugate ([..., 3, 3])."""
-    a = mats[..., 0, 0]
-    b = mats[..., 0, 1]
-    c = mats[..., 0, 2]
-    d = mats[..., 1, 0]
-    e = mats[..., 1, 1]
-    f = mats[..., 1, 2]
-    g = mats[..., 2, 0]
-    h = mats[..., 2, 1]
-    i = mats[..., 2, 2]
-    co_a = e * i - f * h
-    co_b = f * g - d * i
-    co_c = d * h - e * g
-    det = a * co_a + b * co_b + c * co_c
-    adj = jnp.stack(
-        [
-            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
-            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
-            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)[..., None, None]
+_inv3x3 = inv3x3  # shared closed-form batched inverse (pose.inv3x3)
 
 
 def _schur_lm(
@@ -125,6 +107,7 @@ def _schur_lm(
     max_damping: float = 1e12,
     grad_tol: float = 1e-10,
     diag_regularization: float = 1e-12,
+    ftol: float = 1e-7,
 ):
     """One IRLS round of BA as Schur-complement LM (weights held fixed).
 
@@ -132,6 +115,13 @@ def _schur_lm(
     damping schedule as solvers.levenberg_marquardt; the normal equations are
     never materialized at full (6K + 3M) size — the point block is solved in
     closed form and only the 6K x 6K reduced camera system is factorized.
+
+    Runs as a device-side ``while_loop`` capped at ``num_iters`` but exiting
+    as soon as the gradient is tiny or an accepted step improves the loss by
+    less than ``ftol`` relative — per-keyframe local BA starts from the
+    already-refined map (the previous window's solution), so steady-state
+    windows converge in a handful of iterations and the early exit converts
+    that into real device time (g2o's LM has the same stop rule).
     """
     k = problem.poses6.shape[0]
     m = problem.points.shape[0]
@@ -173,7 +163,7 @@ def _schur_lm(
         pr = prior_res(poses.ravel())
         return jnp.sum(res * res) + jnp.sum(pr * pr)
 
-    def step(state, _):
+    def step(state):
         poses, points, damping, nu, loss, iters, done = state
         res, a_blk, b_blk = res_jac(poses, points)
 
@@ -250,9 +240,15 @@ def _schur_lm(
             )
             < grad_tol
         )
-        done_next = done | grad_small
+        # Converged when an accepted step improves the loss by less than
+        # ftol relative, OR when the quadratic model itself cannot promise
+        # an ftol-sized reduction (predicted decrease below ftol * loss) —
+        # at that point further damping retries cannot help either.
+        converged = accept & (loss - loss_try < ftol * loss)
+        stalled = predicted < ftol * loss
+        done_next = done | grad_small | converged | stalled
 
-        keep = done | ~accept
+        keep = ~accept
         poses_next = jnp.where(keep, poses, poses_try)
         points_next = jnp.where(keep, points, points_try)
         loss_next = jnp.where(keep, loss, loss_try)
@@ -261,19 +257,16 @@ def _schur_lm(
         )
         damping_next = jnp.where(accept, damping * shrink, damping * nu)
         nu_next = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
-        damping_next = jnp.where(done, damping, damping_next)
-        nu_next = jnp.where(done, nu, nu_next)
         damping_next = jnp.clip(damping_next, min_damping, max_damping)
-        iters_next = iters + jnp.where(keep, 0, 1)
         return (
             poses_next,
             points_next,
             damping_next,
             nu_next,
             loss_next,
-            iters_next,
+            iters + 1,
             done_next,
-        ), None
+        )
 
     init = (
         problem.poses6,
@@ -284,10 +277,10 @@ def _schur_lm(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
-    (poses, points, _, _, loss, _, _), _ = jax.lax.scan(
-        step, init, None, length=num_iters
+    poses, points, _, _, loss, iters, _ = jax.lax.while_loop(
+        lambda s: (~s[6]) & (s[5] < num_iters), step, init
     )
-    return poses, points, loss
+    return poses, points, loss, iters
 
 
 def bundle_adjust(
@@ -295,10 +288,21 @@ def bundle_adjust(
     huber_delta: float = 0.006,
     inlier_threshold: float = 0.01,
     irls_rounds: int = 2,
-    lm_iters: int = 15,
+    lm_iters=(5, 10),
     solver: str = "schur",
 ) -> BAResult:
-    """Robust local BA: IRLS Huber reweighting around dense LM."""
+    """Robust local BA: IRLS Huber reweighting around dense LM.
+
+    ``lm_iters``: LM iteration cap per IRLS round — either one int for every
+    round or a per-round tuple. The default (5, 10) mirrors the reference's
+    LocalBundleAdjustment budget exactly (Optimizer.cc:660,707: optimize(5),
+    outlier reweight, optimize(10)); the IRLS Huber reweight between rounds
+    plays the role of g2o's outlier check."""
+    if isinstance(lm_iters, int):
+        iters_schedule = (lm_iters,) * irls_rounds
+    else:
+        iters_schedule = tuple(lm_iters)
+        irls_rounds = len(iters_schedule)
     k = problem.poses6.shape[0]
     flat0 = jnp.concatenate([problem.poses6.ravel(), problem.points.ravel()])
     invsigma = (
@@ -330,12 +334,12 @@ def bundle_adjust(
 
     flat = flat0
     loss = jnp.asarray(0.0, flat.dtype)
-    for _ in range(irls_rounds):
+    for round_iters in iters_schedule:
         # Huber and the inlier gate act on sigma-scaled norms so a coarse
         # (high-level) observation is allowed proportionally more residual.
         w = base_w * huber_weights(current_norms(flat) * invsigma, huber_delta)
         if solver == "schur":
-            poses_r, points_r, loss = _schur_lm(
+            poses_r, points_r, loss, _ = _schur_lm(
                 problem._replace(
                     poses6=flat[: 6 * k].reshape(k, 6),
                     points=flat[6 * k :].reshape(problem.points.shape[0], 3),
@@ -343,14 +347,14 @@ def bundle_adjust(
                 w,
                 gauge_anchor,
                 anchor_dist,
-                num_iters=lm_iters,
+                num_iters=round_iters,
             )
             flat = jnp.concatenate([poses_r.ravel(), points_r.ravel()])
         else:
             result = levenberg_marquardt(
                 lambda f: _residuals(f, problem, w, gauge_anchor, anchor_dist),
                 flat,
-                num_iters=lm_iters,
+                num_iters=round_iters,
             )
             flat, loss = result.x, result.loss
 

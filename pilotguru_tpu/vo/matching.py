@@ -32,17 +32,26 @@ class Matches(NamedTuple):
 
 
 def hamming_table(desc_a, desc_b, valid_a=None, valid_b=None):
-    """Pairwise Hamming distances [Na, Nb] (invalid rows/cols -> 257)."""
-    a = (desc_a.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
-    b = (desc_b.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    """Pairwise Hamming distances [Na, Nb] (invalid rows/cols -> 257).
+
+    Returned as int16: distances fit in [0, 257], and the table is the
+    dominant HBM buffer of every matching pass (Na*Nb entries vs Na*256-bit
+    inputs), so halving its width halves the bandwidth of each consumer
+    (argmin / masked-min / mutual-check sweeps)."""
+    # bf16 (not int8) feeds the MXU's native path: +-1 operands with f32
+    # accumulation keep every dot EXACT (integers up to DESCRIPTOR_BITS=256
+    # are representable in bf16, accumulation happens in f32 on the MXU),
+    # and measured ~2x faster than the int8 lowering on v5e.
+    a = (desc_a.astype(jnp.bfloat16) * 2 - 1)
+    b = (desc_b.astype(jnp.bfloat16) * 2 - 1)
     dot = jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    dist = (DESCRIPTOR_BITS - dot) // 2
-    big = DESCRIPTOR_BITS + 1
+    dist = ((DESCRIPTOR_BITS - dot) * 0.5).astype(jnp.int16)
+    big = jnp.int16(DESCRIPTOR_BITS + 1)
     if valid_a is not None:
         dist = jnp.where(valid_a[:, None], dist, big)
     if valid_b is not None:
@@ -67,9 +76,12 @@ def match_descriptors(
     dist = hamming_table(desc_a, desc_b, valid_a, valid_b)  # [Na, Nb]
     best_idx = jnp.argmin(dist, axis=1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
-    # Second best: mask out the best column per row.
-    masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(
-        DESCRIPTOR_BITS + 1
+    # Second best: mask out the best column per row. A broadcast compare
+    # fuses into the min reduction; a scatter would materialize a second
+    # full-size table.
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+    masked = jnp.where(
+        cols[None, :] == best_idx[:, None], jnp.int16(DESCRIPTOR_BITS + 1), dist
     )
     second = jnp.min(masked, axis=1)
 
@@ -127,11 +139,12 @@ def match_projected(
             in_window = in_window & (level_gap <= level_window)
     else:
         in_window = d2 <= search_radius**2
-    dist = jnp.where(in_window, dist, DESCRIPTOR_BITS + 1)
+    dist = jnp.where(in_window, dist, jnp.int16(DESCRIPTOR_BITS + 1))
     best_idx = jnp.argmin(dist, axis=1)
     best = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
-    masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(
-        DESCRIPTOR_BITS + 1
+    cols = jnp.arange(dist.shape[1], dtype=jnp.int32)
+    masked = jnp.where(
+        cols[None, :] == best_idx[:, None], jnp.int16(DESCRIPTOR_BITS + 1), dist
     )
     second = jnp.min(masked, axis=1)
     ok = (best <= max_distance) & (

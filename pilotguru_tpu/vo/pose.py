@@ -59,6 +59,35 @@ def matrix_to_quat(r):
     return q / jnp.linalg.norm(q)
 
 
+def inv3x3(mats):
+    """Batched closed-form 3x3 inverse via the adjugate ([..., 3, 3]).
+
+    TPU-friendly replacement for per-matrix LU/SVD factorizations: pure
+    elementwise arithmetic that vectorizes over any batch shape."""
+    a = mats[..., 0, 0]
+    b = mats[..., 0, 1]
+    c = mats[..., 0, 2]
+    d = mats[..., 1, 0]
+    e = mats[..., 1, 1]
+    f = mats[..., 1, 2]
+    g = mats[..., 2, 0]
+    h = mats[..., 2, 1]
+    i = mats[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)[..., None, None]
+
+
 def transform(pose6, points):
     """Apply world->camera pose: R x + t. pose6 = [rotvec(3), t(3)]."""
     r = rotvec_to_matrix(pose6[:3])

