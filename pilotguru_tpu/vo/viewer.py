@@ -8,7 +8,9 @@ This image is headless (no X11/Pangolin/Qt), so the live view is served
 over HTTP instead — any browser pointed at the port shows the tracked
 frame stream and a top-down live map while a ride tracks:
 
-- ``/``            tiny HTML page: frame stream + canvas map (polls state)
+- ``/``            tiny HTML page: frame stream + interactive 3D map
+                   (orbit / pan / zoom canvas, MapDrawer-equivalent; polls
+                   state)
 - ``/stream.mjpg`` multipart/x-mixed-replace MJPEG of overlay frames
 - ``/frame.jpg``   latest overlay frame as a single JPEG
 - ``/state.json``  tracker state: keyframe centers, map cloud, status
@@ -34,41 +36,114 @@ _PAGE = """<!doctype html>
  .row { display:flex; gap:1em; flex-wrap:wrap; }
  img, canvas { border:1px solid #444; background:#000; }
  #status { margin:0.5em 0; }
+ #hint { color:#777; font-size:0.85em; }
 </style></head>
 <body>
 <h3>pilotguru_tpu live tracker</h3>
 <div id="status">connecting...</div>
 <div class="row">
   <img id="frame" src="/stream.mjpg" width="640"/>
-  <canvas id="map" width="480" height="480"></canvas>
+  <canvas id="map" width="560" height="560"></canvas>
 </div>
+<div id="hint">drag: orbit &middot; shift+drag: pan &middot; wheel: zoom
+ &middot; double-click: reset (MapDrawer-equivalent 3D view)</div>
 <script>
-const cv = document.getElementById('map').getContext('2d');
+// Interactive 3D map view (the reference's Pangolin MapDrawer pan/orbit,
+// thirdparty/orb-slam2/src/MapDrawer.cc, in ~100 lines of vanilla canvas).
+const canvas = document.getElementById('map');
+const cv = canvas.getContext('2d');
+const W = canvas.width, H = canvas.height;
+let yaw = 0.5, pitch = 0.45, dist = 2.2, panX = 0, panY = 0;
+let state = null, center = [0, 0, 0], span = 1;
+canvas.addEventListener('mousedown', e => {
+  const move = ev => {
+    if (e.shiftKey || ev.shiftKey || ev.buttons === 4) {
+      panX += ev.movementX / W * span * dist;
+      panY += ev.movementY / H * span * dist;
+    } else {
+      yaw += ev.movementX * 0.008; pitch += ev.movementY * 0.008;
+      pitch = Math.max(-1.55, Math.min(1.55, pitch));
+    }
+    draw();
+  };
+  const up = () => { window.removeEventListener('mousemove', move);
+                     window.removeEventListener('mouseup', up); };
+  window.addEventListener('mousemove', move);
+  window.addEventListener('mouseup', up);
+});
+canvas.addEventListener('wheel', e => {
+  e.preventDefault();
+  dist *= Math.exp(e.deltaY * 0.0015);
+  dist = Math.max(0.15, Math.min(30, dist));
+  draw();
+}, { passive: false });
+canvas.addEventListener('dblclick', () => {
+  yaw = 0.5; pitch = 0.45; dist = 2.2; panX = panY = 0; draw();
+});
+function project(p) {
+  // world -> orbit camera (look at scene center) -> perspective.
+  const x0 = (p[0] - center[0]) / span, y0 = (p[1] - center[1]) / span,
+        z0 = (p[2] - center[2]) / span;
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  let x = cy * x0 + sy * z0, z1 = -sy * x0 + cy * z0;
+  let y = cp * y0 - sp * z1, z = sp * y0 + cp * z1 + dist;
+  x += panX; y += panY;
+  if (z < 0.05) return null;
+  const f = 1.4 * Math.min(W, H) / 2;
+  return [W / 2 + f * x / z, H / 2 + f * y / z, z];
+}
+function line(a, b) {
+  const pa = project(a), pb = project(b);
+  if (!pa || !pb) return;
+  cv.beginPath(); cv.moveTo(pa[0], pa[1]); cv.lineTo(pb[0], pb[1]); cv.stroke();
+}
+function draw() {
+  cv.fillStyle = '#000'; cv.fillRect(0, 0, W, H);
+  if (!state) return;
+  const pts = state.points || [], kfs = state.keyframe_centers || [];
+  const axes = state.keyframe_axes || [];
+  // MapDrawer point cloud.
+  cv.fillStyle = '#2a6';
+  for (const p of pts) {
+    const q = project(p);
+    if (q) cv.fillRect(q[0] - 1, q[1] - 1, 2, 2);
+  }
+  // Keyframe trajectory polyline.
+  cv.strokeStyle = '#e33'; cv.lineWidth = 1.5;
+  for (let i = 1; i < kfs.length; i++) line(kfs[i - 1], kfs[i]);
+  // Camera frusta (small pyramid along each keyframe's +z optical axis;
+  // MapDrawer::DrawKeyFrames).
+  cv.strokeStyle = '#39f'; cv.lineWidth = 1;
+  const s = 0.035 * span;
+  for (let i = 0; i < kfs.length && i < axes.length; i++) {
+    const c = kfs[i], a = axes[i];  // rows of R: camera axes in world
+    const X = a[0], Y = a[1], Z = a[2];
+    const corner = (sx, sy) => [
+      c[0] + s * (sx * X[0] + sy * Y[0] + 1.6 * Z[0]),
+      c[1] + s * (sx * X[1] + sy * Y[1] + 1.6 * Z[1]),
+      c[2] + s * (sx * X[2] + sy * Y[2] + 1.6 * Z[2])];
+    const q = [corner(-1, -0.7), corner(1, -0.7), corner(1, 0.7),
+               corner(-1, 0.7)];
+    for (let k = 0; k < 4; k++) { line(c, q[k]); line(q[k], q[(k + 1) % 4]); }
+  }
+}
 async function tick() {
   try {
     const s = await (await fetch('/state.json')).json();
+    state = s;
     document.getElementById('status').textContent =
       `frame ${s.frame_id}  state ${s.state}  inliers ${s.inliers}  ` +
       `map ${s.map_points}  keyframes ${s.keyframes}`;
-    cv.fillStyle = '#000'; cv.fillRect(0, 0, 480, 480);
-    const pts = s.points || [], kfs = s.keyframe_centers || [];
-    const all = pts.concat(kfs);
+    const all = (s.points || []).concat(s.keyframe_centers || []);
     if (all.length) {
-      let xs = all.map(p => p[0]), zs = all.map(p => p[2]);
-      const cx = (Math.min(...xs) + Math.max(...xs)) / 2;
-      const cz = (Math.min(...zs) + Math.max(...zs)) / 2;
-      const span = Math.max(
-        Math.max(...xs) - Math.min(...xs),
-        Math.max(...zs) - Math.min(...zs), 1e-3);
-      const sc = 440 / span;
-      const X = p => 240 + (p[0] - cx) * sc;
-      const Y = p => 240 + (p[2] - cz) * sc;
-      cv.fillStyle = '#2a6';
-      for (const p of pts) cv.fillRect(X(p) - 1, Y(p) - 1, 2, 2);
-      cv.strokeStyle = '#e33'; cv.lineWidth = 2; cv.beginPath();
-      kfs.forEach((p, i) => i ? cv.lineTo(X(p), Y(p)) : cv.moveTo(X(p), Y(p)));
-      cv.stroke();
+      const mins = [0, 1, 2].map(i => Math.min(...all.map(p => p[i])));
+      const maxs = [0, 1, 2].map(i => Math.max(...all.map(p => p[i])));
+      center = [0, 1, 2].map(i => (mins[i] + maxs[i]) / 2);
+      span = Math.max(maxs[0] - mins[0], maxs[1] - mins[1],
+                      maxs[2] - mins[2], 1e-3);
     }
+    draw();
   } catch (e) { document.getElementById('status').textContent = 'offline'; }
   setTimeout(tick, 500);
 }
@@ -181,10 +256,16 @@ class LiveViewer:
             step = -(-len(pts) // self._max_cloud)
             pts = pts[::step]
         centers = []
+        axes = []
         for kf in tracker.keyframes:
             r, t = kf.pose6[:3], kf.pose6[3:]
             rot = _rotvec_matrix(np.asarray(r, np.float64))
             centers.append((-rot.T @ np.asarray(t, np.float64)).tolist())
+            # Camera axes in world coordinates: with world->cam
+            # x_cam = R x + t, the camera's k-th axis in world is R^T e_k,
+            # i.e. the k-th ROW of R. The 3D view draws each keyframe's
+            # frustum from these (MapDrawer::DrawKeyFrames equivalent).
+            axes.append(np.round(rot, 4).tolist())
         snapshot = {
             "frame_id": int(frame_id),
             "state": str(state),
@@ -195,6 +276,7 @@ class LiveViewer:
             "keyframe_centers": [
                 [round(v, 4) for v in c] for c in centers
             ],
+            "keyframe_axes": axes,
         }
         with self._lock:
             self._state = snapshot
