@@ -1,15 +1,16 @@
-// Manual steer-by-wire control console.
+// Manual steer-by-wire control console + HTTP operator panel.
 //
 // Replaces the reference's Qt manual-control window
-// (src/kia_steering_ui.cc + src/ui_steering_manual/) with a stdin-driven
-// console for headless use; same wiring: CAN updater -> controller ->
-// Arduino channel, with JSON drive logs.
-//
-// Commands on stdin:  a <degrees>  set target angle
-//                     c            clear target
-//                     q            quit
+// (src/kia_steering_ui.cc + src/ui_steering_manual/
+// kia_steering_ui_main_window.cpp) for headless use; same wiring: CAN
+// updater -> controller -> Arduino channel, with JSON drive logs. Control
+// comes from either surface:
+//   - stdin console:    a <degrees> | c | q
+//   - --panel_port=N:   browser panel with live angle/target labels and
+//                       the Qt window's set/clear/nudge buttons
+//                       (pgcar/http_panel.h).
 // Usage: kia_steering_manual --can_interface=can0 --arduino_tty=/dev/ttyUSB0
-//        [--kia_log_dir=DIR]
+//        [--kia_log_dir=DIR] [--panel_port=8088]
 #include <cstdio>
 #include <cstring>
 #include <iostream>
@@ -18,6 +19,7 @@
 #include <string>
 
 #include "pgcar/arduino_comm.h"
+#include "pgcar/http_panel.h"
 #include "pgcar/json_logger.h"
 #include "pgcar/kia_can.h"
 #include "pgcar/steering_angle_holder.h"
@@ -33,6 +35,50 @@ std::string FlagValue(int argc, char **argv, const std::string &name,
   }
   return fallback;
 }
+
+// The Qt panel's labels + buttons as an HTML page (served by HttpPanel).
+constexpr char kPanelHtml[] = R"html(<!doctype html>
+<html><head><title>kia steering manual</title>
+<style>body{background:#111;color:#ddd;font-family:monospace;margin:2em;}
+button{margin:0.2em;padding:0.4em 1em;} #angle{font-size:2em;}
+input{width:6em;}</style></head><body>
+<h3>kia_steering_manual</h3>
+<div>measured angle: <span id="angle">?</span>&deg;</div>
+<div>target: <span id="target">none</span></div>
+<div style="margin-top:1em">
+ <input id="deg" type="number" value="0" step="1"/>
+ <button onclick="cmd('a '+document.getElementById('deg').value)">set target</button>
+ <button onclick="cmd('c')">clear</button>
+</div>
+<div>
+ <button onclick="nudge(-5)">-5&deg;</button>
+ <button onclick="nudge(-1)">-1&deg;</button>
+ <button onclick="nudge(1)">+1&deg;</button>
+ <button onclick="nudge(5)">+5&deg;</button>
+</div>
+<div id="reply" style="margin-top:1em;color:#9a9;"></div>
+<script>
+async function cmd(c){
+ const r = await fetch('/cmd?c='+encodeURIComponent(c));
+ document.getElementById('reply').textContent = await r.text();
+}
+async function nudge(d){
+ const s = await (await fetch('/state.json')).json();
+ const base = s.target_set ? s.target_degrees : (s.angle_valid ? s.angle_degrees : 0);
+ cmd('a '+(base+d));
+}
+async function tick(){
+ try{
+  const s = await (await fetch('/state.json')).json();
+  document.getElementById('angle').textContent =
+    s.angle_valid ? s.angle_degrees.toFixed(1) : '?';
+  document.getElementById('target').textContent =
+    s.target_set ? s.target_degrees.toFixed(1)+'°' : 'none';
+ }catch(e){}
+ setTimeout(tick, 300);
+}
+tick();
+</script></body></html>)html";
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -91,25 +137,63 @@ int main(int argc, char **argv) {
   }
 
   can_updater.start();
-  std::printf("commands: a <degrees> | c | q\n");
-  std::string line;
-  while (std::getline(std::cin, line)) {
+
+  // One command interpreter serves both control surfaces (stdin console
+  // and the HTTP panel) so behavior cannot drift between them.
+  auto apply_command = [&controller](const std::string &line) -> std::string {
     std::istringstream parts(line);
     std::string op;
     parts >> op;
-    if (op == "q") break;
     if (op == "c") {
       controller.ClearTargetAngle();
-      std::printf("target cleared\n");
-    } else if (op == "a") {
+      return "target cleared";
+    }
+    if (op == "a") {
       double degrees = 0;
       if (parts >> degrees) {
-        std::printf(controller.SetTargetAngle(degrees)
-                        ? "target set to %.1f\n"
-                        : "target %.1f rejected (out of range)\n",
-                    degrees);
+        return controller.SetTargetAngle(degrees)
+                   ? "target set to " + std::to_string(degrees)
+                   : "target rejected (out of range)";
       }
+      return "usage: a <degrees>";
     }
+    return "unknown command (a <degrees> | c)";
+  };
+
+  std::unique_ptr<pgcar::HttpPanel> panel;
+  const std::string panel_port = FlagValue(argc, argv, "panel_port", "");
+  if (!panel_port.empty()) {
+    panel = std::make_unique<pgcar::HttpPanel>(
+        std::stoi(panel_port), kPanelHtml,
+        [&car_data, &controller]() {
+          pgcar::Timestamped<pgcar::kia::SteeringAngle> angle;
+          const bool angle_valid = car_data.steering_angles().get_latest(&angle);
+          pgcar::Timestamped<pgcar::kia::TargetSteeringAngleStatus> target;
+          const bool target_valid =
+              controller.TargetSteeringAnglesHistory().get_latest(&target);
+          std::ostringstream out;
+          out << "{\"angle_valid\": " << (angle_valid ? "true" : "false")
+              << ", \"angle_degrees\": "
+              << (angle_valid ? angle.data().degrees() : 0.0)
+              << ", \"target_set\": "
+              << ((target_valid && target.data().is_set) ? "true" : "false")
+              << ", \"target_degrees\": "
+              << (target_valid ? target.data().angle_degrees : 0.0) << "}";
+          return out.str();
+        },
+        apply_command);
+    if (panel->ok()) {
+      std::printf("operator panel: http://127.0.0.1:%d/\n", panel->port());
+    } else {
+      std::fprintf(stderr, "cannot bind panel port %s\n", panel_port.c_str());
+    }
+  }
+
+  std::printf("commands: a <degrees> | c | q\n");
+  std::string line;
+  while (std::getline(std::cin, line)) {
+    if (line == "q") break;
+    std::printf("%s\n", apply_command(line).c_str());
   }
 
   controller.Stop();
