@@ -404,14 +404,7 @@ def fused_ref_kf_track(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
-        "epipolar_gate",
-    ),
-)
-def fused_create_points(
+def _create_points_impl(
     prev_desc,  # [K, 256]
     prev_un,  # [K] bool — unmatched & valid in previous keyframe
     prev_kp,  # [K, 2]
@@ -534,6 +527,63 @@ def fused_create_points(
             good.astype(f32),
             pts_world.astype(f32).ravel(),
         ]
+    )
+
+
+fused_create_points = partial(
+    jax.jit,
+    static_argnames=(
+        "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
+        "epipolar_gate",
+    ),
+)(_create_points_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
+        "epipolar_gate",
+    ),
+)
+def fused_create_points_multi(
+    prev_desc,  # [P, K, 256] — stacked neighbor keyframes
+    prev_un,  # [P, K]
+    prev_kp,  # [P, K, 2]
+    prev_level,  # [P, K]
+    prev_angle,  # [P, K]
+    curr_desc,  # [K, 256] — the one new keyframe, shared across pairs
+    curr_un,  # [K]
+    curr_kp,  # [K, 2]
+    curr_level,  # [K]
+    curr_angle,  # [K]
+    delta6,  # [P, 6]
+    prev_pose6,  # [P, 6]
+    min_parallax_cos: float,
+    scale: float = 1.2,
+    use_rotation_check: bool = True,
+    reproj_gate: float = 0.01,
+    epipolar_gate: float = 0.0,
+):
+    """All of a keyframe's triangulation pairs as ONE device program
+    (vmapped _create_points_impl over the stacked neighbor axis): one
+    dispatch and one packed [P, 5K] result instead of P round trips —
+    through a remote-chip tunnel each saved pull is a full RTT. Inactive
+    (padding / degenerate-baseline) pairs ride along with an all-False
+    ``prev_un`` mask."""
+
+    def one(pd, pu, pk, pl, pa, d6, pp6):
+        return _create_points_impl(
+            pd, pu, pk, pl, pa,
+            curr_desc, curr_un, curr_kp, curr_level, curr_angle,
+            d6, pp6,
+            min_parallax_cos=min_parallax_cos, scale=scale,
+            use_rotation_check=use_rotation_check, reproj_gate=reproj_gate,
+            epipolar_gate=epipolar_gate,
+        )
+
+    return jax.vmap(one)(
+        prev_desc, prev_un, prev_kp, prev_level, prev_angle, delta6, prev_pose6
     )
 
 
@@ -1758,7 +1808,7 @@ class MonocularTracker:
             # latency in the LocalMapping thread).
             create_dev = self._dispatch_create_points_all(kf)
             fuse_dev = self._dispatch_fuse(kf)
-            for handle in [h for _, h in create_dev] + [fuse_dev]:
+            for handle in [create_dev[1], fuse_dev]:
                 if hasattr(handle, "copy_to_host_async"):
                     handle.copy_to_host_async()
             self._create_new_points(kf, dispatched=create_dev)
@@ -1787,30 +1837,14 @@ class MonocularTracker:
             self._frames_since_keyframe = 0
 
     # ----------------------------------------------------------- map growth
-    def _dispatch_create_points_all(self, kf: Keyframe):
-        """Dispatch one triangulation program per recent neighbor keyframe
-        (closest first), before pulling any result: the programs share one
-        compiled shape and their host copies overlap. Returns a list of
-        (neighbor_kf, handle-or-None)."""
-        n = self.config.create_neighbor_kfs
-        neighbors = self.keyframes[max(0, len(self.keyframes) - 1 - n) : -1]
-        return [
-            (prev, self._dispatch_create_points(kf, prev))
-            for prev in reversed(neighbors)
-        ]
+    def _create_pair_active(self, kf: Keyframe, prev: Keyframe) -> bool:
+        """Host-side gate for one (prev, kf) triangulation pair.
 
-    def _dispatch_create_points(self, kf: Keyframe, prev: Keyframe = None):
-        """Dispatch the triangulation program (LocalMapping::
-        CreateNewMapPoints analogue) for one (prev, kf) pair; returns the
-        device result handle (or None when either keyframe lacks unmatched
-        features or the pair's baseline is degenerate). Split from the
-        commit so its device round trip can overlap the fuse sweep's."""
-        if prev is None:
-            prev = self.keyframes[-2]
-        # Monocular baseline check (LocalMapping.cc:246-259): skip pairs
-        # whose camera-center separation is under 1% of the neighbor's
-        # median scene depth — triangulations from a near-zero baseline are
-        # pure noise amplification.
+        Monocular baseline check (LocalMapping.cc:246-259): skip pairs
+        whose camera-center separation is under 1% of the neighbor's
+        median scene depth — triangulations from a near-zero baseline are
+        pure noise amplification. Pairs where either keyframe lacks
+        unmatched features are skipped too."""
         pids = prev.map_point[prev.map_point >= 0]
         pids = pids[self.point_valid[pids]]
         if pids.size >= 10:
@@ -1822,33 +1856,62 @@ class MonocularTracker:
             c_kf = -(r_kf.T @ kf.pose6[3:])
             baseline = float(np.linalg.norm(c_kf - c_prev))
             if median_depth > 0 and baseline / median_depth < 0.01:
-                return None
+                return False
         un_prev = prev.kp_valid & (prev.map_point < 0)
         un_curr = kf.kp_valid & (kf.map_point < 0)
-        if un_prev.sum() < 8 or un_curr.sum() < 8:
-            return None
-        prev_desc_dev, _ = self.kf_descriptors_device(prev)
+        return bool(un_prev.sum() >= 8 and un_curr.sum() >= 8)
+
+    def _dispatch_create_points_all(self, kf: Keyframe):
+        """Dispatch ALL of a keyframe's triangulation pairs (LocalMapping::
+        CreateNewMapPoints analogue, closest neighbor first) as ONE stacked
+        device program: padding the pair axis to ``create_neighbor_kfs``
+        keeps a single compiled shape, and one packed [P, 5K] pull replaces
+        P round trips — through a remote-chip tunnel each avoided pull is a
+        full RTT (the reference hides this latency in the LocalMapping
+        thread). Returns (active_neighbors, handle-or-None)."""
+        n = self.config.create_neighbor_kfs
+        neighbors = self.keyframes[max(0, len(self.keyframes) - 1 - n) : -1]
+        active = [
+            prev for prev in reversed(neighbors)
+            if self._create_pair_active(kf, prev)
+        ]
+        if not active:
+            return [], None
+        # Stack per-pair inputs, padded to the fixed pair count with copies
+        # of the first pair under an all-False unmatched mask (dead lanes).
+        pad = [active[0]] * (n - len(active))
+        rows = active + pad
+        live = np.arange(n) < len(active)
+        prev_desc = jnp.stack(
+            [self.kf_descriptors_device(p)[0] for p in rows]
+        )
+        un_prev = np.stack(
+            [p.kp_valid & (p.map_point < 0) for p in rows]
+        ) & live[:, None]
+        un_curr = kf.kp_valid & (kf.map_point < 0)
         curr_desc_dev, _ = self.kf_descriptors_device(kf)
-        delta = self._pose_delta(prev.pose6, kf.pose6)
-        return fused_create_points(
-            prev_desc_dev,
+        handle = fused_create_points_multi(
+            prev_desc,
             jnp.asarray(un_prev),
-            jnp.asarray(prev.kp_norm),
-            jnp.asarray(prev.kp_level),
-            jnp.asarray(prev.kp_angle),
+            jnp.asarray(np.stack([p.kp_norm for p in rows])),
+            jnp.asarray(np.stack([p.kp_level for p in rows])),
+            jnp.asarray(np.stack([p.kp_angle for p in rows])),
             curr_desc_dev,
             jnp.asarray(un_curr),
             jnp.asarray(kf.kp_norm),
             jnp.asarray(kf.kp_level),
             jnp.asarray(kf.kp_angle),
-            jnp.asarray(delta),
-            jnp.asarray(prev.pose6),
+            jnp.asarray(
+                np.stack([self._pose_delta(p.pose6, kf.pose6) for p in rows])
+            ),
+            jnp.asarray(np.stack([p.pose6 for p in rows])),
             min_parallax_cos=self.config.min_parallax_cos,
             scale=self.config.scale,
             use_rotation_check=self.config.rotation_consistency,
             reproj_gate=self._reproj_gate,
             epipolar_gate=self._epi_gate,
         )
+        return active, handle
 
     def _create_new_points(self, kf: Keyframe, dispatched=_NOT_DISPATCHED):
         """Triangulate unmatched features against the recent neighbor
@@ -1857,15 +1920,15 @@ class MonocularTracker:
         point from an earlier (smaller-baseline, better-matched) pair is
         skipped in later ones — the same first-wins dedup the reference gets
         from marking the matched index per triangulation round."""
-        pairs = (
+        active, handle = (
             dispatched if dispatched is not _NOT_DISPATCHED
             else self._dispatch_create_points_all(kf)
         )
+        if handle is None:
+            return
         k = kf.kp_norm.shape[0]
-        for prev, packed_dev in pairs:
-            if packed_dev is None:
-                continue
-            packed = np.asarray(packed_dev)
+        packed_all = np.asarray(handle)  # [P, 5K]; one pull for all pairs
+        for prev, packed in zip(active, packed_all):
             idx = packed[:k].astype(np.int32)
             good = packed[k : 2 * k] > 0.5
             pts_world_all = packed[2 * k :].reshape(k, 3).astype(np.float64)
