@@ -1528,12 +1528,13 @@ class MonocularTracker:
         so a keyframe cycle costs one chunk round trip, not two.
         """
         assert self.state == OK, "process_chunk requires an initialized tracker"
-        # Fold in the previous keyframe's deferred BA before building the
-        # device map: by now its transfer has landed (the keyframe's own
-        # loop-detect pull ran in between), so tracking — like the
-        # reference's, once LocalMapping finishes — runs on refined
-        # geometry without a blocking round trip.
-        self._apply_pending_ba()
+        # The previous keyframe's deferred BA is NOT folded in here: it
+        # applies at the next keyframe insertion (_apply_pending_ba there),
+        # so this chunk tracks on pre-BA geometry — the reference's
+        # Tracking-vs-LocalMapping lag — instead of stalling a full BA
+        # round trip at every chunk boundary. Applying only at keyframe
+        # cadence also keeps the chunked and per-frame paths bitwise
+        # identical (both see map updates at the same frames).
         c = min(len(frames), self.config.track_chunk_frames)
         use = frames[:c]
         pad = self.config.track_chunk_frames - c
@@ -1660,9 +1661,8 @@ class MonocularTracker:
         return results
 
     def _track(self, frame: _FrameFeatures, frame_id, time_usec):
-        # Per-frame path: fold in any landed deferred BA before tracking
-        # (see process_chunk).
-        self._apply_pending_ba()
+        # Deferred BA applies at keyframe insertion, not here (see
+        # process_chunk: the reference's Tracking-vs-LocalMapping lag).
         predicted = self._compose(self._motion, self._pose)
         new_pose, num_inliers, match_idx, inliers, in_front = (
             self._track_attempt(predicted, frame)
@@ -1801,33 +1801,29 @@ class MonocularTracker:
             # Re-anchor the just-appended frame to the new keyframe.
             self.trajectory[-1].ref_kf_id = kf.kf_id
             self.trajectory[-1].rel6 = np.zeros(6)
-            # Dispatch triangulation (one program per neighbor keyframe,
-            # closest first) AND the fuse sweep together before pulling any:
-            # independent device programs whose host copies overlap, so the
-            # whole keyframe fan costs one RTT (the reference hides this
-            # latency in the LocalMapping thread).
+            # Dispatch the whole keyframe fan — triangulation (one stacked
+            # program for all neighbor pairs), the fuse sweep, and the
+            # loop-detection vote sweep (descriptor-only, culling-safe by
+            # kf_id) — before pulling ANY of them: independent device
+            # programs whose compute and host copies all overlap, so the
+            # fan costs one round trip (the reference hides this latency
+            # in its LocalMapping + LoopClosing threads).
             create_dev = self._dispatch_create_points_all(kf)
             fuse_dev = self._dispatch_fuse(kf)
-            for handle in [create_dev[1], fuse_dev]:
-                if hasattr(handle, "copy_to_host_async"):
-                    handle.copy_to_host_async()
-            self._create_new_points(kf, dispatched=create_dev)
-            # LocalMapping-equivalent maintenance, in the reference's order:
-            # cull unstable recent points, fuse duplicates, (BA), cull
-            # redundant keyframes (LocalMapping::Run).
-            self._map_point_culling(kf)
-            self._fuse_duplicates(kf, dispatched=fuse_dev)
-            # Dispatch the loop-detection vote sweep BEFORE local BA: the
-            # sweep depends only on descriptors, so its compute + host
-            # transfer hide entirely behind the BA round trip (the
-            # reference runs LoopClosing in its own thread for the same
-            # overlap; detect_candidate drops keyframes culled in between
-            # by kf_id).
             vote_handle = None
             if self.config.enable_loop_closing and self._loop_preconditions(kf):
                 from pilotguru_tpu.vo import loopclosing
 
                 vote_handle = loopclosing.start_vote_sweep(self, kf)
+            for handle in [create_dev[1], fuse_dev]:
+                if hasattr(handle, "copy_to_host_async"):
+                    handle.copy_to_host_async()
+            # Host-only culling of unstable recent points runs while the
+            # fan is in flight (also the reference's order: MapPointCulling
+            # precedes CreateNewMapPoints in LocalMapping::Run).
+            self._map_point_culling(kf)
+            self._create_new_points(kf, dispatched=create_dev)
+            self._fuse_duplicates(kf, dispatched=fuse_dev)
             if self.config.ba_every_keyframe and len(self.keyframes) >= 3:
                 self._local_bundle_adjust()
             self._keyframe_culling()
@@ -2249,15 +2245,26 @@ class MonocularTracker:
                 break
 
     def _apply_pending_ba(self):
-        """Fold a deferred local-BA result into the map. By now the async
-        host copies have typically landed (the keyframe's loop-vote pull
-        and host bookkeeping ran in between), so this usually costs
-        microseconds, not a full round trip. Keyframe poses update by
-        object identity (safe across keyframe culling — a culled keyframe
-        object is simply no longer referenced); refined points culled or
-        fused away in the interim are dropped (slots cannot be REUSED in
-        between: recycling only happens inside _create_new_points, which
-        always runs after this applies)."""
+        """Fold a deferred local-BA result into the map. Keyframe poses
+        update by object identity (safe across keyframe culling — a culled
+        keyframe object is simply no longer referenced); refined points
+        culled or fused away in the interim are dropped (slots cannot be
+        REUSED in between: recycling only happens inside _create_new_points,
+        which always runs after this applies).
+
+        Called ONLY where new geometry derives from the map — keyframe
+        insertion, loop closure, finalize, trajectory export — NOT at every
+        track step: right after a keyframe the BA is still computing +
+        transferring (~a chunk's worth of latency through a remote tunnel),
+        and blocking there put the whole BA round trip on the tracking
+        critical path. Frames between two keyframes track on geometry
+        stale by at most one local-BA window — exactly the reference's
+        Tracking-vs-LocalMapping lag (LocalMapping.cc Run: tracking never
+        waits for the optimizer). The apply points depend only on keyframe
+        cadence — never on transfer timing — so trajectories are
+        bit-reproducible across runs, backends, and the chunked vs
+        per-frame paths. By keyframe time the transfer has had a full
+        track round trip to land, so the apply is host-only in practice."""
         if self._pending_ba is None:
             return
         result, window, pids = self._pending_ba

@@ -94,6 +94,10 @@ def golden_cases():
                 f"--locations_json={i}/ride/locations.json",
                 f"--frames_json={i}/ride/frames.json",
                 f"--out_json={o}/interpolated.json",
+                # The reference CHECKs l1+l2 > 0 with both defaulting to 0
+                # (interpolate_velocity.cc:21-22,72): weights are always
+                # explicit in real invocations.
+                "--l1_weight=1.0",
                 "--iters=200",
             ],
             ["interpolated.json"],
