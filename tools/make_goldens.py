@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import jax  # noqa: E402
 
+# sitecustomize imports jax before this file runs, so the JAX_PLATFORMS
+# env var above is too late on machines with the axon TPU plugin — the
+# config update is what actually forces CPU (goldens must be generated on
+# the exact backend the test suite replays them on).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
