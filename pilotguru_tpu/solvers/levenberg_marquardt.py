@@ -63,8 +63,13 @@ def levenberg_marquardt(
         x, damping, nu, loss, iters, done = state
         r = residual_fn(x)
         jac = jax.jacfwd(residual_fn)(x)  # [R, D]
-        jtj = jac.T @ jac
-        jtr = jac.T @ r
+        # Exact-f32 normal equations: TPU default-precision f32 matmuls
+        # multiply in bfloat16, and a ~1e-3-relative J^T J / J^T r biases
+        # every solution at that scale (and the gradient-norm convergence
+        # test with it). D is small, so HIGHEST costs nothing measurable.
+        hi = jax.lax.Precision.HIGHEST
+        jtj = jnp.matmul(jac.T, jac, precision=hi)
+        jtr = jnp.matmul(jac.T, r, precision=hi)
         # Marquardt scaling: damp the diagonal, regularized so zero-curvature
         # directions (fully masked-out parameters) stay solvable.
         diag = jnp.diagonal(jtj) + diag_regularization

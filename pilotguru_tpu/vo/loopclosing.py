@@ -26,7 +26,7 @@ import numpy as np
 
 from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
 from pilotguru_tpu.vo import matching, posegraph, sim3
-from pilotguru_tpu.vo.pose import huber_weights, project, rotvec_to_matrix
+from pilotguru_tpu.vo.pose import geo_jit, huber_weights, project, rotvec_to_matrix
 from pilotguru_tpu.vo.tracking import (
     Keyframe,
     _match_descriptors,
@@ -137,7 +137,7 @@ def detect_candidate(tracker, kf: Keyframe, vote_handle=None):
     return None
 
 
-@partial(jax.jit, static_argnames=("lm_iters",))
+@partial(geo_jit, static_argnames=("lm_iters",))
 def refine_sim3(
     m0,  # [7] initial cur-cam -> cand-cam Sim(3)
     cand_pose6,  # [6] world -> cand camera

@@ -17,6 +17,43 @@ import jax.numpy as jnp
 from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
 
 
+# TPU matmuls at default precision compute f32 inputs in bfloat16 (8-bit
+# mantissa). That is fine for descriptor scoring, but catastrophic for
+# chained pose composition: a per-frame motion delta is ~3e-3 rad, and a
+# bf16 product of two near-identity rotations carries ~1e-3 absolute error
+# — 30%+ of the motion itself. Inside fused_track_chunk's carry this
+# compounded into predictions drifting ~2e-2 normalized units (~15 px) by
+# the third frame, collapsing tracking inliers on-chip only (CPU f32
+# matmuls are exact-f32, which is why no CPU test ever caught it). All
+# geometry matmuls here therefore pin precision=HIGHEST; the 3x3 shapes
+# make this free.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def geo_jit(fun, **jit_kwargs):
+    """jax.jit for GEOMETRY device programs: the whole trace runs under
+    ``jax.default_matmul_precision("float32")``.
+
+    Covers every matmul/einsum a geometry program contains (two-view
+    essential/triangulation, BA Jacobian products and Schur assembly,
+    Sim(3)/pose-graph algebra, DLT relocalization) without per-site
+    precision= plumbing. Descriptor-matching int8 matmuls are integer ops
+    (unaffected), and the feature-extraction convolutions keep the fast
+    default path — only f32 geometry pays the (negligible at 3x3/Nx6
+    shapes) exact-f32 cost. The precision config is part of jit's trace
+    cache key, so wrapping the call site is sound."""
+    import functools
+
+    jfun = jax.jit(fun, **jit_kwargs)
+
+    @functools.wraps(fun)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return jfun(*args, **kwargs)
+
+    return wrapped
+
+
 def rotvec_to_matrix(w):
     """Rodrigues formula, Taylor-safe near zero."""
     theta2 = jnp.sum(w * w)
@@ -27,7 +64,8 @@ def rotvec_to_matrix(w):
     small = theta2 < 1e-12
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+    kk = jnp.matmul(k, k, precision=_HI)
+    return jnp.eye(3, dtype=w.dtype) + a * k + b * kk
 
 
 def matrix_to_rotvec(r):
@@ -91,7 +129,7 @@ def inv3x3(mats):
 def transform(pose6, points):
     """Apply world->camera pose: R x + t. pose6 = [rotvec(3), t(3)]."""
     r = rotvec_to_matrix(pose6[:3])
-    return points @ r.T + pose6[3:]
+    return jnp.matmul(points, r.T, precision=_HI) + pose6[3:]
 
 
 def compose_pose(delta6, pose6):
@@ -99,8 +137,8 @@ def compose_pose(delta6, pose6):
     MonocularTracker._compose): R = R_d R_p, t = R_d t_p + t_d."""
     r_d = rotvec_to_matrix(delta6[:3])
     r_p = rotvec_to_matrix(pose6[:3])
-    r = r_d @ r_p
-    t = r_d @ pose6[3:] + delta6[3:]
+    r = jnp.matmul(r_d, r_p, precision=_HI)
+    t = jnp.matmul(r_d, pose6[3:], precision=_HI) + delta6[3:]
     return jnp.concatenate([matrix_to_rotvec(r), t])
 
 
@@ -109,8 +147,8 @@ def pose_delta(prev6, curr6):
     MonocularTracker._pose_delta)."""
     r_prev = rotvec_to_matrix(prev6[:3])
     r_curr = rotvec_to_matrix(curr6[:3])
-    r_d = r_curr @ r_prev.T
-    t_d = curr6[3:] - r_d @ prev6[3:]
+    r_d = jnp.matmul(r_curr, r_prev.T, precision=_HI)
+    t_d = curr6[3:] - jnp.matmul(r_d, prev6[3:], precision=_HI)
     return jnp.concatenate([matrix_to_rotvec(r_d), t_d])
 
 

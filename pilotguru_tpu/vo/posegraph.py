@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pilotguru_tpu.vo.pose import geo_jit
+
 from pilotguru_tpu.solvers.levenberg_marquardt import levenberg_marquardt
 from pilotguru_tpu.vo import sim3
 
@@ -45,7 +47,7 @@ def _edge_residuals(flat, num_nodes, edge_i, edge_j, edge_meas, edge_weight,
     return jnp.concatenate([res.ravel(), prior])
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
+@partial(geo_jit, static_argnames=("num_iters",))
 def optimize_pose_graph(
     nodes7,  # [K, 7]
     edge_i,  # [E] int32

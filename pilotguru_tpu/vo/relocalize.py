@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from pilotguru_tpu.vo import matching
 from pilotguru_tpu.vo.pose import (
+    geo_jit,
     matrix_to_rotvec,
     optimize_pose,
     project,
@@ -70,7 +71,7 @@ def dlt_pose(points3d, obs, weights):
     return jnp.concatenate([matrix_to_rotvec(r), t])
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
+@partial(geo_jit, static_argnames=("num_hypotheses",))
 def relocalize(
     map_points,  # [M, 3]
     map_desc,  # [M, 256] uint8

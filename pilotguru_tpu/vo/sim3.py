@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pilotguru_tpu.vo.pose import matrix_to_rotvec, rotvec_to_matrix
+from pilotguru_tpu.vo.pose import geo_jit, matrix_to_rotvec, rotvec_to_matrix
 
 
 def identity(dtype=jnp.float64):
@@ -117,7 +117,7 @@ class Sim3RansacResult(NamedTuple):
     num_inliers: jnp.ndarray  # []
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
+@partial(geo_jit, static_argnames=("num_hypotheses",))
 def ransac_umeyama(
     points_a,  # [N, 3]
     points_b,  # [N, 3]

@@ -46,6 +46,7 @@ from pilotguru_tpu.vo import matching
 from pilotguru_tpu.vo.ba import BAProblem, bundle_adjust
 from pilotguru_tpu.vo.features import extract_orb_features
 from pilotguru_tpu.vo.pose import (
+    geo_jit,
     compose_pose,
     matrix_to_quat,
     matrix_to_rotvec,
@@ -119,29 +120,29 @@ _match_projected = jax.jit(
     matching.match_projected,
     static_argnames=("search_radius", "max_distance", "ratio"),
 )
-_two_view = jax.jit(
+_two_view = geo_jit(
     two_view_reconstruction,
     static_argnames=("num_hypotheses", "inlier_threshold"),
 )
-_optimize_pose = jax.jit(
+_optimize_pose = geo_jit(
     optimize_pose,
     static_argnames=(
         "huber_delta", "inlier_threshold", "irls_rounds", "lm_iters",
     ),
 )
-_bundle_adjust = jax.jit(
+_bundle_adjust = geo_jit(
     bundle_adjust,
     static_argnames=(
         "huber_delta", "inlier_threshold", "irls_rounds", "lm_iters", "solver",
     ),
 )
-_triangulate = jax.jit(triangulate)
-_transform = jax.jit(transform)
+_triangulate = geo_jit(triangulate)
+_transform = geo_jit(transform)
 _project = jax.jit(project)
 
 
 @partial(
-    jax.jit,
+    geo_jit,
     static_argnames=(
         "search_radius", "refine_radius", "max_distance", "scale",
         "level_window", "huber_delta", "inlier_threshold",
@@ -265,7 +266,7 @@ def fused_track_step(
 
 
 @partial(
-    jax.jit,
+    geo_jit,
     static_argnames=(
         "search_radius", "refine_radius", "max_distance", "scale",
         "level_window", "huber_delta", "inlier_threshold",
@@ -345,7 +346,7 @@ def fused_track_chunk(
 
 
 @partial(
-    jax.jit,
+    geo_jit,
     static_argnames=(
         "scale", "use_rotation_check", "huber_delta", "inlier_threshold",
     ),
@@ -531,7 +532,7 @@ def _create_points_impl(
 
 
 fused_create_points = partial(
-    jax.jit,
+    geo_jit,
     static_argnames=(
         "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
         "epipolar_gate",
@@ -540,7 +541,7 @@ fused_create_points = partial(
 
 
 @partial(
-    jax.jit,
+    geo_jit,
     static_argnames=(
         "min_parallax_cos", "scale", "use_rotation_check", "reproj_gate",
         "epipolar_gate",
@@ -588,7 +589,7 @@ def fused_create_points_multi(
 
 
 @partial(
-    jax.jit,
+    geo_jit,
     static_argnames=("search_radius", "max_distance", "scale", "level_window"),
 )
 def fused_project_match(
