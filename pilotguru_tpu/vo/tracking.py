@@ -855,24 +855,52 @@ class _FrameFeatures(NamedTuple):
     angle: np.ndarray  # [K] float32
 
 
-@dataclass
 class Keyframe:
-    pose6: np.ndarray
-    kp_norm: np.ndarray  # [K, 2] normalized coords
-    descriptors: np.ndarray  # [K, 256] uint8
-    kp_valid: np.ndarray  # [K] bool
-    map_point: np.ndarray  # [K] int32 — map point index per keypoint or -1
-    num_inliers: int = 0
-    kf_id: int = -1  # stable id (survives keyframe culling)
-    kp_level: Optional[np.ndarray] = None  # [K] int32 pyramid level
-    kp_angle: Optional[np.ndarray] = None  # [K] orientation (radians)
+    """One keyframe's host-side state (plain class: identity semantics —
+    loop/cull bookkeeping compares keyframes BY OBJECT, see kf_id).
 
-    def __post_init__(self):
-        k = self.kp_norm.shape[0]
-        if self.kp_level is None:
-            self.kp_level = np.zeros(k, np.int32)
-        if self.kp_angle is None:
-            self.kp_angle = np.zeros(k, np.float32)
+    ``descriptors`` may be constructed from a DEVICE array (the batched
+    prefetcher keeps descriptors chip-resident): the host copy starts
+    asynchronously at construction and materializes lazily on first host
+    access — by then (the triangulation pull, ~50 ms later on the keyframe
+    path) the transfer has landed, so keyframe insertion never blocks a
+    full 512 KB descriptor pull through the tunnel. The original device
+    array stays available via ``device_descriptors`` so the per-keyframe
+    HBM cache reuses it instead of re-uploading the bytes it just pulled."""
+
+    def __init__(
+        self, pose6, kp_norm, descriptors, kp_valid, map_point,
+        num_inliers=0, kf_id=-1, kp_level=None, kp_angle=None,
+    ):
+        self.pose6 = pose6
+        self.kp_norm = kp_norm  # [K, 2] normalized coords
+        self._descriptors = descriptors  # [K, 256] uint8 (host or device)
+        if hasattr(descriptors, "copy_to_host_async"):
+            self._descriptors_dev = descriptors
+            descriptors.copy_to_host_async()
+        else:
+            self._descriptors_dev = None
+        self.kp_valid = kp_valid  # [K] bool
+        self.map_point = map_point  # [K] int32 — map point index or -1
+        self.num_inliers = num_inliers
+        self.kf_id = kf_id  # stable id (survives keyframe culling)
+        k = kp_norm.shape[0]
+        self.kp_level = (
+            kp_level if kp_level is not None else np.zeros(k, np.int32)
+        )
+        self.kp_angle = (
+            kp_angle if kp_angle is not None else np.zeros(k, np.float32)
+        )
+
+    @property
+    def descriptors(self) -> np.ndarray:
+        if not isinstance(self._descriptors, np.ndarray):
+            self._descriptors = np.asarray(self._descriptors)
+        return self._descriptors
+
+    def device_descriptors(self):
+        """The construction-time device array, or None (host-built frames)."""
+        return self._descriptors_dev
 
 
 class MonocularTracker:
@@ -1178,8 +1206,12 @@ class MonocularTracker:
         return {kf.kf_id: i for i, kf in enumerate(self.keyframes)}
 
     def _cache_kf_descriptors(self, kf: Keyframe):
+        dev = kf.device_descriptors()
         self._kf_desc_dev[kf.kf_id] = (
-            jnp.asarray(kf.descriptors),
+            # Prefetched keyframes: descriptors are ALREADY chip-resident —
+            # reuse that array instead of re-uploading the 512 KB we are
+            # concurrently pulling down for the host copy.
+            dev if dev is not None else jnp.asarray(kf.descriptors),
             jnp.asarray(kf.kp_valid),
         )
 
@@ -1789,9 +1821,11 @@ class MonocularTracker:
             matched_points = np.nonzero(inliers)[0]
             kp_map[match_idx[matched_points]] = matched_points
             kf = Keyframe(
-                # Keyframes hold host copies (descriptors may be
-                # device-resident on the prefetch path until this point).
-                new_pose.copy(), frame.kp_norm, np.asarray(frame.desc),
+                # Descriptors may be device-resident on the prefetch path;
+                # Keyframe starts the async host copy and materializes it
+                # lazily (first host use is the triangulation-pull commit,
+                # by which time the transfer has landed).
+                new_pose.copy(), frame.kp_norm, frame.desc,
                 frame.valid, kp_map, num_inliers, kf_id=self._next_kf_id,
                 kp_level=np.asarray(frame.level, np.int32),
                 kp_angle=np.asarray(frame.angle, np.float32),
