@@ -23,6 +23,7 @@ FORMAT_VERSION = 2
 
 def save_tracker_map(tracker: MonocularTracker, path: str) -> None:
     """Serialize map points, keyframes and tracker motion state."""
+    tracker._flush_point_desc()  # deferred created-point descriptor writes
     has_rel = [fp.rel6 is not None for fp in tracker.trajectory]
     data = {
         "format_version": np.asarray(FORMAT_VERSION),

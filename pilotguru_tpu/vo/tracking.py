@@ -765,10 +765,13 @@ class TrackerConfig:
     # Frames tracked per device call in the chunked path (process_chunk):
     # between keyframe decisions the map is immutable, so C frames ride one
     # host<->device round trip instead of C (decisive through a remote
-    # tunnel, still fewer dispatches locally). Matches keyframe_max_gap so
-    # the gap-triggered keyframe lands on the last chunk frame (zero
-    # rewind in steady state). 0 disables chunking.
-    track_chunk_frames: int = 8
+    # tunnel, still fewer dispatches locally). TWO keyframe_max_gap
+    # intervals: chunk_through_keyframes consumes through the first
+    # keyframe insertion and stops at the second trigger, so one dispatch
+    # covers a whole keyframe cycle plus the run-up to the next (measured
+    # 720p end-to-end: 29.2 vs 27.9 fps over chunk=8). 0 disables
+    # chunking.
+    track_chunk_frames: int = 16
     # Consume the WHOLE chunk even when a keyframe lands mid-chunk: frames
     # after the insertion keep their device results, i.e. they tracked
     # against the pre-keyframe map. This is the reference's real execution
@@ -976,6 +979,13 @@ class MonocularTracker:
         # In-flight deferred local BA: (device result, window keyframes,
         # arena pids of its points). See _windowed_bundle_adjust(deferred=).
         self._pending_ba = None
+        # Deferred arena descriptor writes: (slots, source keyframe, rows).
+        # Created points' descriptors come from the keyframe's LAZY host
+        # copy (see Keyframe) — writing them at creation time would block
+        # on that 512 KB transfer mid-keyframe; instead they flush at the
+        # next arena-descriptor READ (_flush_point_desc), by which time
+        # the copy has landed.
+        self._pending_point_desc: list = []
         self._last_loop_cand_kf_id = -1  # loop candidate's stable kf_id
         # Local-map mask: points observed by the recent keyframe window.
         # Per-frame tracking matches ONLY these (Tracking::TrackLocalMap
@@ -1014,6 +1024,14 @@ class MonocularTracker:
         self._dev_map_sel = None
         self._dev_map_full = None
 
+    def _flush_point_desc(self):
+        """Apply deferred created-point descriptor writes (ordered, so a
+        recycled slot ends with its newest creation's descriptor). Must run
+        before ANY read of ``point_desc``."""
+        for slots, kf_src, rows in self._pending_point_desc:
+            self.point_desc[slots] = kf_src.descriptors[rows]
+        self._pending_point_desc.clear()
+
     def _device_map(self):
         """COMPACT local-map mirror resident on device, re-uploaded only
         after map mutations (keyframe cadence).
@@ -1029,6 +1047,7 @@ class MonocularTracker:
         indices behind the rows live in _dev_map_sel / _dev_map_count for
         the host-side scatter-back in _track_attempt."""
         if self._dev_map is None:
+            self._flush_point_desc()
             cap = self.config.max_map_points
             cand = np.nonzero(self.point_valid & self._local_points)[0]
             bucket = min(1024, cap)
@@ -1055,6 +1074,7 @@ class MonocularTracker:
         mirror. Uploaded lazily (relocalization is rare) and invalidated on
         the same choke point as the compact mirror."""
         if self._dev_map_full is None:
+            self._flush_point_desc()
             self._dev_map_full = (
                 jnp.asarray(self.points),
                 jnp.asarray(self.point_desc),
@@ -1341,6 +1361,13 @@ class MonocularTracker:
                 jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(ok),
                 self._next_key(),
             )
+            # Start every result transfer now: the inliers pull below rides
+            # the same round trip, and on success the points3d/translation/
+            # rotation pulls find their bytes already landed (three saved
+            # RTTs through the tunnel).
+            for h in (res.points3d, res.translation, res.rotation):
+                if hasattr(h, "copy_to_host_async"):
+                    h.copy_to_host_async()
             return res, np.asarray(res.inliers)  # array pull, not 0-d
 
         idx, ok = match_levels(self.config.init_max_level)
@@ -1850,7 +1877,9 @@ class MonocularTracker:
                 from pilotguru_tpu.vo import loopclosing
 
                 vote_handle = loopclosing.start_vote_sweep(self, kf)
-            for handle in [create_dev[1], fuse_dev]:
+            for handle in [
+                create_dev[1], fuse_dev[1] if fuse_dev else None,
+            ]:
                 if hasattr(handle, "copy_to_host_async"):
                     handle.copy_to_host_async()
             # Host-only culling of unstable recent points runs while the
@@ -1977,7 +2006,12 @@ class MonocularTracker:
             slots = self._free_slots(rows.size)
             take = len(slots)
             self.points[slots] = pts_world[:take]
-            self.point_desc[slots] = kf.descriptors[idx[rows[:take]]]
+            # Descriptor rows come from the keyframe's lazy host copy;
+            # write them at the next arena read instead of blocking on the
+            # in-flight transfer here (_flush_point_desc).
+            self._pending_point_desc.append(
+                (slots, kf, idx[rows[:take]].copy())
+            )
             self.point_valid[slots] = True
             self.stats["points_created"] += take
             self.point_level[slots] = kf.kp_level[idx[rows[:take]]]
@@ -2014,19 +2048,48 @@ class MonocularTracker:
         self.point_recent[graduated] = False
 
     def _dispatch_fuse(self, kf: Keyframe, whole_map: bool = False):
-        """Dispatch the fuse projection sweep; returns the device result
-        handle, or None when there are no candidate points."""
+        """Dispatch the fuse projection sweep; returns (sel, handle) where
+        ``sel`` maps the result's row space back to arena slots (None for
+        the whole-arena row space), or None when there are no candidates.
+
+        The local sweep (the per-keyframe hot path) runs against the
+        COMPACT device mirror: its candidate set is local-window points by
+        construction, so the only fresh upload is a [bucket]-bool mask —
+        previously every keyframe re-uploaded the full [M, 256] descriptor
+        arena (~1 MB through the tunnel). The whole-map sweep (post-loop
+        SearchAndFuse, rare) keeps the full-arena upload."""
         observed = np.zeros(self.config.max_map_points, bool)
         refs = kf.map_point[kf.map_point >= 0]
         observed[refs] = True
 
         cand = self.point_valid & ~observed
+        kf_desc_dev, _ = self.kf_descriptors_device(kf)
+        common = dict(
+            search_radius=self._fuse_rad,
+            max_distance=matching.HAMMING_LOW,
+            scale=self.config.scale,
+            level_window=self.config.level_window,
+        )
         if not whole_map:
             cand &= self._local_points
+            if not cand.any():
+                return None
+            points_dev, desc_dev, _, level_dev = self._device_map()
+            sel, n = self._dev_map_sel, self._dev_map_count
+            b = int(points_dev.shape[0])
+            cand_b = np.zeros(b, bool)
+            cand_b[:n] = cand[sel[:n]]
+            handle = fused_project_match(
+                points_dev, desc_dev, jnp.asarray(cand_b), level_dev,
+                jnp.asarray(kf.pose6), kf_desc_dev,
+                jnp.asarray(kf.kp_norm), jnp.asarray(kf.kp_valid),
+                jnp.asarray(kf.kp_level), **common,
+            )
+            return sel.copy(), handle
         if not cand.any():
             return None
-        kf_desc_dev, _ = self.kf_descriptors_device(kf)
-        return fused_project_match(
+        self._flush_point_desc()
+        handle = fused_project_match(
             jnp.asarray(self.points),
             jnp.asarray(self.point_desc),
             jnp.asarray(cand),
@@ -2036,11 +2099,9 @@ class MonocularTracker:
             jnp.asarray(kf.kp_norm),
             jnp.asarray(kf.kp_valid),
             jnp.asarray(kf.kp_level),
-            search_radius=self._fuse_rad,
-            max_distance=matching.HAMMING_LOW,
-            scale=self.config.scale,
-            level_window=self.config.level_window,
+            **common,
         )
+        return None, handle
 
     def _fuse_duplicates(
         self, kf: Keyframe, whole_map: bool = False,
@@ -2058,22 +2119,31 @@ class MonocularTracker:
         ``whole_map=True`` is the post-loop-closure global fuse
         (LoopClosing::SearchAndFuse), where stitching IS the point.
 
-        ``dispatched``: pre-dispatched _dispatch_fuse handle; passing it
+        ``dispatched``: pre-dispatched _dispatch_fuse result; passing it
         overlaps this sweep's device round trip with point creation (the
         candidate set is identical either way — points created at this
         keyframe are excluded as not-yet-valid at dispatch time and as
         observed-in-kf at commit time; commits filter stale pids below)."""
-        packed_dev = (
+        result = (
             dispatched if dispatched is not _NOT_DISPATCHED
             else self._dispatch_fuse(kf, whole_map)
         )
-        if packed_dev is None:
+        if result is None:
             return
-        m = self.config.max_map_points
+        sel, packed_dev = result
         packed = np.asarray(packed_dev)
+        m = packed.shape[0] // 2  # arena size, or the mirror bucket
         match_idx = packed[:m].astype(np.int32)
         match_ok = packed[m:] > 0.5
         pids = np.nonzero(match_ok)[0]
+        if sel is not None:
+            # Mirror row space -> arena slots.
+            match_arena = np.full(
+                self.config.max_map_points, -1, np.int32
+            )
+            match_arena[sel[pids]] = match_idx[pids]
+            match_idx = match_arena
+            pids = sel[pids]
         # On the overlapped path the arena may have mutated between dispatch
         # and commit: _map_point_culling can invalidate a candidate, and
         # _free_slots recycling can hand its slot to a point created at THIS
